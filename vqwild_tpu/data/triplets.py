@@ -1,0 +1,187 @@
+"""Triplet training dataset + threaded prefetching batch loader.
+
+Reproduces the reference's VRActivityNet sampling semantics
+(dataloader_baseline.py:78-218): each item draws an anchor class and a
+different negative class, samples anchor/positive from the anchor class
+(duplicating when the class is a few-shot singleton) and one negative, and
+reads three RandomCrop'd clips; epoch length = #non-noise training videos // 3.
+
+Known upstream divergence (documented): upstream's negative-class draw
+``set(labels) - set(list(anchor_class_name))`` subtracts the *characters* of
+the anchor class name — a no-op — so upstream can draw negative==anchor with
+probability 1/nclass. We implement the intended exclusion.
+
+Batches are emitted TPU-ready: uint8 frames [B*3,T,H,W,C] + crop offsets +
+labels; crop/normalize run on device. A background thread pool keeps the
+accelerator fed (replacing torch DataLoader workers, main.py:96-101).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from vqwild_tpu.core.logging import get_logger
+from vqwild_tpu.data.clips import RawClip, batch_raw_clips, read_clip_raw
+from vqwild_tpu.data.frames import FrameStore
+from vqwild_tpu.data.labels import SplitSpec
+from vqwild_tpu.data.schema import TrimmedDB, VideoRecord
+
+log = get_logger("data.triplets")
+
+
+@dataclasses.dataclass
+class TripletBatch:
+    frames: np.ndarray  # [B*3, T, H, W, C] uint8 (anchor,pos,neg per triplet)
+    crop_offsets: np.ndarray  # [B*3, 2] int32 (top, left)
+    flips: np.ndarray  # [B*3] bool
+    labels: np.ndarray  # [B*3] int32 class indices
+
+
+class TripletDataset:
+    def __init__(
+        self,
+        db: TrimmedDB,
+        spec: SplitSpec,
+        store: FrameStore,
+        novel_num: int = 5,
+        train_frames: int = 32,
+        crop_size: int = 112,
+        fps: int = 3,
+        nclass: int = 200,
+    ):
+        self.store = store
+        self.train_frames = train_frames
+        self.crop_size = crop_size
+        self.fps = fps
+        data = db.training_for_fewshot(spec, novel_num)
+        # sanity check: drop videos with no frames on disk (dataloader:99-117)
+        removed = set()
+        self.data: Dict[str, List[VideoRecord]] = {}
+        for label, recs in data.items():
+            kept = []
+            for r in recs:
+                if self.store.has_video(r.activitynet_subset, r.video_id):
+                    kept.append(r)
+                else:
+                    removed.add(r.video_id)
+            if kept:
+                self.data[label] = kept
+        if removed:
+            log.warning("sanity check: removed %d missing videos", len(removed))
+        self.labels = list(self.data.keys())
+        self.cls2int = {label: i for i, label in enumerate(self.labels)}
+        if len(self.cls2int) != nclass:
+            raise ValueError(
+                f"expected {nclass} training classes, got {len(self.cls2int)}"
+            )
+        total = sum(len(v) for v in self.data.values())
+        self.length = total // 3  # one triplet per item (dataloader:92-97)
+        log.info("triplet dataset: %d videos, %d triplets/epoch", total, self.length)
+
+    def __len__(self) -> int:
+        return self.length
+
+    def sample_triplet(self, rng: np.random.Generator) -> List[RawClip]:
+        anchor_cls = self.labels[int(rng.integers(len(self.labels)))]
+        neg_idx = int(rng.integers(len(self.labels) - 1))
+        if self.labels[neg_idx] == anchor_cls:
+            neg_idx = len(self.labels) - 1
+        negative_cls = self.labels[neg_idx]
+
+        pool = self.data[anchor_cls]
+        if len(pool) >= 2:
+            i, j = rng.choice(len(pool), size=2, replace=False)
+            anchor_rec, pos_rec = pool[int(i)], pool[int(j)]
+        else:  # singleton few-shot class (dataloader:192-197)
+            anchor_rec = pos_rec = pool[0]
+        neg_pool = self.data[negative_cls]
+        neg_rec = neg_pool[int(rng.integers(len(neg_pool)))]
+
+        clips = []
+        for rec, cls in (
+            (anchor_rec, anchor_cls),
+            (pos_rec, anchor_cls),
+            (neg_rec, negative_cls),
+        ):
+            clip = read_clip_raw(
+                self.store,
+                rec,
+                self.train_frames,
+                fps=self.fps,
+                rng=rng,
+                crop_size=self.crop_size,
+            )
+            clip.label = self.cls2int[cls]
+            clips.append(clip)
+        return clips
+
+    def build_batch(self, rng: np.random.Generator, batch_size: int) -> TripletBatch:
+        clips: List[RawClip] = []
+        for _ in range(batch_size):
+            clips.extend(self.sample_triplet(rng))
+        frames, offsets, flips = batch_raw_clips(clips)
+        labels = np.array([c.label for c in clips], dtype=np.int32)
+        return TripletBatch(frames=frames, crop_offsets=offsets, flips=flips, labels=labels)
+
+
+class PrefetchLoader:
+    """Thread-pool batch producer with a bounded queue.
+
+    Threads (not processes) suffice because the packed frame store is
+    zero-decode memmap I/O which releases the GIL in numpy; for the JPEG
+    parity backend raise ``workers``.
+    """
+
+    def __init__(
+        self,
+        dataset: TripletDataset,
+        batch_size: int,
+        steps_per_epoch: Optional[int] = None,
+        workers: int = 4,
+        seed: int = 0,
+        prefetch: int = 4,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.steps_per_epoch = steps_per_epoch or max(1, len(dataset) // batch_size)
+        self.workers = max(1, workers)
+        self.seed = seed
+        self.prefetch = prefetch
+
+    def epoch(self, epoch_idx: int) -> Iterator[TripletBatch]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        n_steps = self.steps_per_epoch
+        counter = threading.Semaphore(n_steps)
+        stop = threading.Event()
+
+        def worker(widx: int):
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, epoch_idx, widx])
+            )
+            while not stop.is_set() and counter.acquire(blocking=False):
+                batch = self.dataset.build_batch(rng, self.batch_size)
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+
+        threads = [
+            threading.Thread(target=worker, args=(w,), daemon=True)
+            for w in range(self.workers)
+        ]
+        for t in threads:
+            t.start()
+        try:
+            for _ in range(n_steps):
+                yield q.get()
+        finally:
+            stop.set()
+            for t in threads:
+                t.join(timeout=5.0)
