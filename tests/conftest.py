@@ -1,13 +1,19 @@
 import os
 
-# Force CPU with 8 virtual devices BEFORE jax initializes, so multi-chip
-# sharding paths are exercised everywhere tests run.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU with 8 virtual devices so multi-chip sharding paths are exercised
+# everywhere tests run. jax may already be imported (the axon sitecustomize
+# pre-registers a TPU plugin and sets JAX_PLATFORMS=axon), so both the env var
+# and the live config must be overridden before the first backend is built.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 

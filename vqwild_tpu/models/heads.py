@@ -1,0 +1,155 @@
+"""Retrieval-model heads: non-local batch↔memory attention, semantic adaptor,
+memory-distance logits, sequential EMA memory update.
+
+These reimplement the reference's head semantics (misc_utils/nl.py,
+models/resnet18_va.py:154-202, models/resnet18_vasa.py:177-237) as fused
+matmul modules — the upstream per-sample Python loops become batched pairwise
+distances, and the 1x1 Conv1d stacks become Dense layers (identical math).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def torch_linear_init():
+    """torch.nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+    for both kernel and bias (kaiming_uniform(a=sqrt(5)))."""
+
+    def kernel_init(key, shape, dtype=jnp.float32):
+        fan_in = shape[0]
+        bound = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return kernel_init
+
+
+def torch_bias_init(fan_in: int):
+    def bias_init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return bias_init
+
+
+def dense_torch(features: int, fan_in: int, name: str, dtype=jnp.float32) -> nn.Dense:
+    return nn.Dense(
+        features,
+        kernel_init=torch_linear_init(),
+        bias_init=torch_bias_init(fan_in),
+        dtype=dtype,
+        name=name,
+    )
+
+
+def l2_normalize(x, axis=-1, eps: float = 1e-12):
+    """torch F.normalize semantics: x / max(||x||, eps)."""
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)
+
+
+def pairwise_l2(a, b, eps: float = 0.0):
+    """Exact pairwise Euclidean distances ||a_i - b_j||_2 → [N, M].
+
+    Computed as a difference expansion with a matmul on the cross term (MXU)
+    rather than materializing [N, M, C] differences.
+    """
+    a2 = jnp.sum(a * a, axis=-1, keepdims=True)  # [N,1]
+    b2 = jnp.sum(b * b, axis=-1)[None, :]  # [1,M]
+    cross = a @ b.T  # [N,M]
+    sq = jnp.maximum(a2 + b2 - 2.0 * cross, 0.0)
+    return jnp.sqrt(sq + eps)
+
+
+def memory_distance_logits(embed, memory, temperature: float):
+    """reg/word logits: −‖e − m‖₂ / τ per class (resnet18_va.py:172-184 —
+    upstream loops over the batch; this is the batched equivalent)."""
+    return -pairwise_l2(embed, memory) / temperature
+
+
+def ema_memory_update(memory, embeds, targets, mv: float):
+    """Sequential EMA visual-memory update (resnet18_va.py:186-192).
+
+    mem[y_i] = normalize(mv·mem[y_i] + (1−mv)·e_i), applied in batch order so
+    repeated labels compound exactly as upstream. Gradients do not flow
+    (upstream wraps in no_grad; callers stop_gradient the inputs).
+    """
+    embeds = jax.lax.stop_gradient(embeds)
+
+    def body(i, mem):
+        y = targets[i]
+        updated = mv * mem[y] + (1.0 - mv) * embeds[i]
+        return mem.at[y].set(l2_normalize(updated, axis=-1))
+
+    return jax.lax.fori_loop(0, embeds.shape[0], body, memory)
+
+
+def param_free_layernorm(x, eps: float = 1e-6):
+    """(x − mean) / (std + eps) over the last dim, torch-std (ddof=1)
+    (nl.py:7-15)."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    std = jnp.std(x, axis=-1, keepdims=True, ddof=1)
+    return (x - mean) / (std + eps)
+
+
+class NonLocal1D(nn.Module):
+    """Support-batch ↔ class-memory attention (nl.py:18-159).
+
+    Upstream feeds [N,C] support embeddings and the [M,C] memory through 1x1
+    Conv1d layers after reshaping to [1,C,N]; every conv is therefore a Dense.
+    Attention: softmax(θ(x) · φ(q)ᵀ / √C) · g(q), parameter-free LayerNorm,
+    ReLU → W (Dense) → BatchNorm(init γ=0,β=0) → dropout(0.2) → residual +x.
+
+    The zero-init BN makes the block start as identity. BatchNorm here is the
+    torch BatchNorm1d over [1,C,N]: per-channel stats across the N support
+    samples (eps 1e-5, torch momentum 0.1).
+    """
+
+    channels: int
+    inter_channels: int
+    dropout: float = 0.2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_support, query, train: bool = False):
+        c_i = self.inter_channels
+        theta = dense_torch(c_i, self.channels, "theta", self.dtype)(x_support)
+        phi = dense_torch(c_i, self.channels, "phi", self.dtype)(query)
+        g = dense_torch(c_i, self.channels, "g", self.dtype)(query)
+
+        f = (theta @ phi.T) / math.sqrt(c_i)  # [N, M]
+        attn = jax.nn.softmax(f, axis=-1)
+        y = attn @ g  # [N, C_i]
+        y = param_free_layernorm(y)
+        y = nn.relu(y)
+        y = dense_torch(self.channels, c_i, "w", self.dtype)(y)
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            epsilon=1e-5,
+            momentum=0.9,
+            scale_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="w_bn",
+        )(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        return y + x_support
+
+
+class SemanticAdaptor(nn.Module):
+    """MLP 512→640→768→896→semantic_dim with inner ReLUs
+    (resnet18_vasa.py:75-89)."""
+
+    semantic_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(dense_torch(640, 512, "fc", self.dtype)(x))
+        x = nn.relu(dense_torch(768, 640, "fc2", self.dtype)(x))
+        x = nn.relu(dense_torch(896, 768, "fc3", self.dtype)(x))
+        return dense_torch(self.semantic_dim, 896, "fc4", self.dtype)(x)
