@@ -1,0 +1,39 @@
+"""Exact pairwise L2 scoring — the FAISS IndexFlatL2 replacement.
+
+The reference ranks every query against the full gallery with FAISS exact L2
+(dataloader_baseline.py:872-881 etc.), scoring candidates as −(squared L2
+distance). On TPU the same computation is a single MXU matmul per tile:
+
+    ‖q − g‖² = ‖q‖² + ‖g‖² − 2·q·gᵀ
+
+Queries are processed in chunks against the (optionally mesh-sharded) gallery;
+under pjit the gallery shards across devices and XLA inserts the all-gather/
+concat of per-shard scores over ICI.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_sq_l2(q, g, precision=jax.lax.Precision.HIGHEST):
+    """[Q,D]×[G,D] → squared L2 distances [Q,G] (clamped ≥ 0).
+
+    HIGHEST precision keeps fp32 matmul accuracy on TPU (the MXU would
+    otherwise downcast operands to bf16, visibly perturbing rank order).
+    """
+    q = q.astype(jnp.float32)
+    g = g.astype(jnp.float32)
+    q2 = jnp.sum(q * q, axis=-1, keepdims=True)
+    g2 = jnp.sum(g * g, axis=-1)[None, :]
+    cross = jax.lax.dot_general(
+        q, g, (((1,), (1,)), ((), ())), precision=precision
+    )
+    return jnp.maximum(q2 + g2 - 2.0 * cross, 0.0)
+
+
+def score_matrix(q, g):
+    """Retrieval scores = −‖q−g‖² (higher is better), matching the reference's
+    ``score = −D`` with FAISS squared distances (dataloader_baseline.py:1599-1604)."""
+    return -pairwise_sq_l2(q, g)
