@@ -66,7 +66,7 @@ def build_tiny_arv(root: str):
         for label in ALL_LABELS:
             rtype = "base" if label in BASE else "novel"
             recs = []
-            for i in range(5):
+            for i in range(8):
                 recs.append(
                     _record(
                         new_vid("ev"),

@@ -1,0 +1,194 @@
+"""Untrimmed clip retrieval (ARV_Retrieval_Clip, dataloader_baseline.py:661-963).
+
+Gallery: every untrimmed video is chunked and embedded into a per-video
+feature tape, then sliced into non-overlapping clip_sec windows; a window's
+feature is the temporal mean over the tape (device cumsum gather) and its
+label is the first annotation fully covering it (else "unknown"). Queries are
+the trimmed query clips. tp = clip_label == query label.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from vqwild_tpu.core.logging import get_logger
+from vqwild_tpu.data.labels import SplitSpec
+from vqwild_tpu.data.schema import MomentDB, VideoRecord
+from vqwild_tpu.ops.distance import score_matrix
+from vqwild_tpu.ops.ranking import ranked_retrieval_metrics
+from vqwild_tpu.ops.segment_pool import enumerate_clip_windows, sliding_window_mean
+from vqwild_tpu.retrieval.aggregate import MetricAggregator
+from vqwild_tpu.retrieval.features import FeatureExtractor
+from vqwild_tpu.retrieval.multiquery import generate_multi_query
+
+log = get_logger("retrieval.clip")
+
+
+def window_label(
+    annotations, loc_sec, possible_classes
+) -> str:
+    """First annotation fully covering [loc_sec0, loc_sec1] with an allowed
+    label, else "unknown" (cal_label, dataloader_baseline.py:797-806)."""
+    for ann in annotations or ():
+        if (
+            ann.segment[0] <= loc_sec[0]
+            and ann.segment[1] >= loc_sec[1]
+            and ann.label in possible_classes
+        ):
+            return ann.label
+    return "unknown"
+
+
+class ARVRetrievalClip:
+    def __init__(
+        self,
+        db: MomentDB,
+        spec: SplitSpec,
+        extractor: FeatureExtractor,
+        clip_sec: int = 6,
+        fps: int = 3,
+        temporal_stride: int = 1,
+        query_num: int = 1,
+        multi_query_extra: int = 4,
+        r_at_n: Sequence[int] = (30, 50, 100),
+        robust_map: bool = True,
+        rank_chunk: int = 256,
+        read_cache: bool = False,
+        check_completeness: bool = True,
+    ):
+        self.extractor = extractor
+        self.clip_sec = clip_sec
+        self.fps = fps
+        self.temporal_stride = temporal_stride
+        self.query_num = query_num
+        self.multi_query_extra = multi_query_extra
+        self.r_at_n = tuple(r_at_n)
+        self.robust_map = robust_map
+        self.rank_chunk = rank_chunk
+        self.read_cache = read_cache
+        self.check_completeness = check_completeness
+        # clip/moment eval always uses train+test labels (:671-674)
+        self.possible_classes = set(spec.possible_classes("testing"))
+        self.queries: List[VideoRecord] = db.nonnoise_queries()
+        self.gallery_videos: List[VideoRecord] = db.gallery
+        log.info(
+            "clip eval: %d queries, %d gallery videos",
+            len(self.queries),
+            len(self.gallery_videos),
+        )
+
+    def build_gallery(self):
+        """→ (clip_feats [G, C], clip_labels [G] str, clip_video_idx [G])."""
+        cache = self.extractor.load_cache("clip_gallery.npz") if self.read_cache else None
+        if cache is not None:
+            return cache["feats"], cache["labels"], cache["video_idx"]
+        tapes = self.extractor.extract_video_tapes(self.gallery_videos)
+        feats, labels, vidx = [], [], []
+        for vi, (video, tape) in enumerate(zip(self.gallery_videos, tapes)):
+            feat_len = tape.shape[1]
+            starts, ends, locs = enumerate_clip_windows(
+                video.activitynet_duration,
+                feat_len,
+                self.clip_sec,
+                self.fps,
+                self.temporal_stride,
+            )
+            if len(starts) == 0:
+                continue
+            wmeans = np.asarray(
+                sliding_window_mean(
+                    jnp.asarray(tape.T), jnp.asarray(starts), jnp.asarray(ends)
+                )
+            )  # [W, C]
+            for k in range(len(starts)):
+                feats.append(wmeans[k])
+                labels.append(
+                    window_label(video.annotations, locs[k], self.possible_classes)
+                )
+                vidx.append(vi)
+        feats = np.stack(feats)
+        labels = np.array(labels)
+        vidx = np.array(vidx, np.int64)
+        self.extractor.save_cache(
+            "clip_gallery.npz", feats=feats, labels=labels, video_idx=vidx
+        )
+        return feats, labels, vidx
+
+    def evaluation(self) -> dict:
+        q_feats_all = self.extractor.extract_trimmed(self.queries)
+        keep = [
+            i for i, q in enumerate(self.queries) if q.label in self.possible_classes
+        ]
+        queries = [self.queries[i] for i in keep]
+        q_feats_all = q_feats_all[keep]
+
+        gal_feats, gal_labels, gal_vidx = self.build_gallery()
+        if self.check_completeness:
+            present = set(gal_labels.tolist()) - {"unknown"}
+            missing = self.possible_classes - present
+            if missing:
+                log.warning(
+                    "gallery missing %d classes (e.g. %s)",
+                    len(missing),
+                    sorted(missing)[:3],
+                )
+
+        gal_video_ids = np.array(
+            [self.gallery_videos[v].video_id for v in gal_vidx]
+        )
+        label_ids = {}
+        for lab in list(gal_labels) + [q.label for q in queries]:
+            label_ids.setdefault(lab, len(label_ids))
+        gal_label_ids = np.array([label_ids[l] for l in gal_labels], np.int64)
+
+        expanded = generate_multi_query(
+            list(range(len(queries))),
+            label_of=lambda i: queries[i].label,
+            video_id_of=lambda i: queries[i].video_id,
+            extras=self.multi_query_extra,
+        )
+        log.info(
+            "clip ranking: %d queries x %d gallery clips",
+            len(expanded),
+            len(gal_feats),
+        )
+
+        agg = MetricAggregator(self.r_at_n)
+        agg.set_class_info(
+            [(queries[qs[0]].label, queries[qs[0]].retrieval_type) for qs in expanded]
+        )
+        g_dev = jnp.asarray(gal_feats)
+        for start in range(0, len(expanded), self.rank_chunk):
+            batch = expanded[start : start + self.rank_chunk]
+            qf = np.stack(
+                [
+                    np.mean([q_feats_all[i] for i in qs[: self.query_num]], axis=0)
+                    for qs in batch
+                ]
+            )
+            tp = np.stack(
+                [gal_label_ids == label_ids[queries[qs[0]].label] for qs in batch]
+            )
+            ignore = np.stack(
+                [
+                    np.isin(gal_video_ids, [queries[i].video_id for i in qs])
+                    for qs in batch
+                ]
+            )
+            scores = score_matrix(jnp.asarray(qf), g_dev)
+            out = ranked_retrieval_metrics(
+                scores,
+                jnp.asarray(tp),
+                jnp.asarray(ignore),
+                r_at_n=self.r_at_n,
+                robust=self.robust_map,
+            )
+            aps = np.asarray(out["ap"])
+            recalls = np.asarray(out["recalls"])
+            for bi, qs in enumerate(batch):
+                q = queries[qs[0]]
+                agg.add(q.label, q.retrieval_type, float(aps[bi]), recalls[bi].tolist())
+        return agg.result()

@@ -1,0 +1,156 @@
+"""Feature extraction drivers for the evaluators.
+
+Mirrors do_eval's feat_func closure (main.py:220-233): the model's eval
+forward → per-frame embeddings L2-normalized over the channel dim → numpy
+[B, C, T]; plus the fake-feature backend (--memory_leak_debug,
+dataloader_baseline.py:721-724) that exercises the whole retrieval stack
+without a model.
+
+``FeatureExtractor`` handles batching, the device-side fused preprocess
+(crop/flip/normalize on TPU), long-video chunk tapes, and the on-disk feature
+cache (the reference's feat_cache.pkl, :1450-1456 — ours is .npz).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqwild_tpu.core.logging import get_logger
+from vqwild_tpu.data.clips import batch_raw_clips, read_clip_raw
+from vqwild_tpu.data.frames import FrameStore
+from vqwild_tpu.data.longvideo import concat_video_tapes, enumerate_chunks, read_chunk_batch
+from vqwild_tpu.data.schema import VideoRecord
+from vqwild_tpu.ops.preprocess import preprocess_clips
+
+log = get_logger("retrieval.features")
+
+
+def make_feat_fn(model, variables) -> Callable:
+    """Returns f(clips_f32 [B,T,H,W,C]) → np [B, C, T], frame embeddings
+    L2-normalized across channels (main.py:232)."""
+
+    @jax.jit
+    def _fwd(x):
+        out = model.apply(variables, x, train=False)
+        fe = out.frame_embed  # [B, T, C]
+        fe = fe / jnp.maximum(jnp.linalg.norm(fe, axis=-1, keepdims=True), 1e-12)
+        return jnp.transpose(fe, (0, 2, 1))  # [B, C, T]
+
+    def feat_fn(clips):
+        return np.asarray(_fwd(jnp.asarray(clips)))
+
+    return feat_fn
+
+
+def make_fake_feat_fn(feat_dim: int = 512, seed: Optional[int] = None) -> Callable:
+    """Random features in [0,1) like np.random.rand — the memory_leak_debug
+    backend. A seed makes runs reproducible (upstream uses the global RNG)."""
+    rng = np.random.default_rng(seed)
+
+    def feat_fn(clips):
+        b, t = clips.shape[0], clips.shape[1]
+        return rng.random((b, feat_dim, t), dtype=np.float32)
+
+    return feat_fn
+
+
+def _chunks(seq, n):
+    for i in range(0, len(seq), n):
+        yield seq[i : i + n]
+
+
+class FeatureExtractor:
+    def __init__(
+        self,
+        feat_fn: Callable,
+        store: FrameStore,
+        test_frames: int = 32,
+        test_batch_size: int = 30,
+        input_size: int = 112,
+        fps: int = 3,
+        fake: bool = False,
+        cache_dir: Optional[str] = None,
+    ):
+        self.feat_fn = feat_fn
+        self.store = store
+        self.test_frames = test_frames
+        self.test_batch_size = test_batch_size
+        self.input_size = input_size
+        self.fps = fps
+        self.fake = fake
+        self.cache_dir = cache_dir
+
+    # -- device-fused preprocess: uint8 raw frames → normalized crops --
+    def _embed_raw(self, frames, offsets, flips) -> np.ndarray:
+        clips = preprocess_clips(frames, offsets, flips, self.input_size)
+        return self.feat_fn(clips)
+
+    def extract_trimmed(self, records: Sequence[VideoRecord]) -> np.ndarray:
+        """[N, C] clip features: per-frame embeddings mean-pooled over T
+        (dataloader_baseline.py:1481-1483). CenterCrop at eval."""
+        feats: List[np.ndarray] = []
+        for batch in _chunks(list(records), self.test_batch_size):
+            if self.fake:
+                f = self.feat_fn(
+                    np.zeros((len(batch), self.test_frames, 1, 1, 3), np.float32)
+                )
+            else:
+                clips = [
+                    read_clip_raw(
+                        self.store,
+                        rec,
+                        self.test_frames,
+                        fps=self.fps,
+                        rng=None,
+                        crop_size=self.input_size,
+                    )
+                    for rec in batch
+                ]
+                frames, offsets, flips = batch_raw_clips(clips)
+                f = self._embed_raw(frames, offsets, flips)
+            feats.append(np.mean(f, axis=-1))  # [B, C]
+        return np.concatenate(feats, axis=0)
+
+    def extract_video_tapes(self, gallery: Sequence[VideoRecord]) -> List[np.ndarray]:
+        """Per-video feature tapes [C, T_total] from contiguous chunks
+        (dataloader_baseline.py:742-784)."""
+        refs = enumerate_chunks(gallery, self.store, self.test_frames)
+        all_feats: List[np.ndarray] = []
+        for ref_batch in _chunks(refs, self.test_batch_size):
+            if self.fake:
+                f = self.feat_fn(
+                    np.zeros((len(ref_batch), self.test_frames, 1, 1, 3), np.float32)
+                )
+            else:
+                frames, offsets, flips = read_chunk_batch(
+                    ref_batch, gallery, self.store, self.test_frames, self.input_size, self.fps
+                )
+                f = self._embed_raw(frames, offsets, flips)
+            all_feats.extend(f)
+        return concat_video_tapes(np.asarray(all_feats), refs, len(gallery))
+
+    # -- cache --
+    def cache_path(self, name: str) -> Optional[str]:
+        if not self.cache_dir:
+            return None
+        os.makedirs(self.cache_dir, exist_ok=True)
+        return os.path.join(self.cache_dir, name)
+
+    def load_cache(self, name: str):
+        path = self.cache_path(name)
+        if path and os.path.exists(path):
+            log.warning("loading feature cache %s", path)
+            with np.load(path, allow_pickle=True) as z:
+                return {k: z[k] for k in z.files}
+        return None
+
+    def save_cache(self, name: str, **arrays):
+        path = self.cache_path(name)
+        if path:
+            log.warning("writing feature cache %s", path)
+            np.savez(path, **arrays)

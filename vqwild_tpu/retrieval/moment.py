@@ -1,0 +1,278 @@
+"""Untrimmed moment retrieval (ARV_Retrieval_Moment,
+dataloader_baseline.py:965-1380).
+
+Gallery: every video's tape is sliced into moments of 1..max_clips ×
+moment_clip_sec seconds (5s stride); each moment carries its best-tIoU
+annotation (closest_hit). Ranking per query: exact-L2 full ranking (device
+matmul) → per-video clustering in rank order → temporal NMS per cluster
+(ignored moments participate and can suppress) → drop ignored → tp iff
+closest-hit label matches and tIoU ≥ 0.5 → AP/R@N.
+
+Faithfully-preserved upstream quirks:
+* after NMS the kept list is re-assembled *grouped by video* (videos ordered
+  by their best-ranked moment, moments rank-ordered within a video) — the
+  robust-mAP flip and the R@N top-N windows operate on this grouped order,
+  not pure score order (:1283-1330);
+* NMS runs before the ignore filter, so ignored moments can suppress valid
+  ones (:1283-1314 vs :386-402).
+
+The per-query postprocess replaces the reference's fork-based multiprocessing
+pool (cpu_count()//4 workers) with a thread pool over the numpy/C++ kernel
+(numpy releases the GIL; the native engine in vqwild_tpu/native goes further).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from vqwild_tpu.core.logging import get_logger
+from vqwild_tpu.data.labels import SplitSpec
+from vqwild_tpu.data.schema import MomentDB, VideoRecord
+from vqwild_tpu.ops import metrics_np
+from vqwild_tpu.ops.distance import score_matrix
+from vqwild_tpu.ops.nms import temporal_nms
+from vqwild_tpu.ops.segment_pool import enumerate_moment_windows, sliding_window_mean
+from vqwild_tpu.retrieval.aggregate import MetricAggregator
+from vqwild_tpu.retrieval.features import FeatureExtractor
+from vqwild_tpu.retrieval.multiquery import generate_multi_query
+
+log = get_logger("retrieval.moment")
+
+
+def temporal_iou(min1, max1, min2, max2) -> float:
+    """calculate_iou (dataloader_baseline.py:1095-1097): plain interval IoU,
+    union spans min..max even when disjoint."""
+    overlap = max(0.0, min(max1, max2) - max(min1, min2))
+    return overlap * 1.0 / (max(max2, max1) - min(min1, min2))
+
+
+def closest_hit(annotations, loc_sec, possible_classes):
+    """Best-tIoU annotation with an allowed label (:1099-1114); None if the
+    video has no allowed annotations."""
+    best_iou, best = -1.0, None
+    for ann in annotations or ():
+        if ann.label not in possible_classes:
+            continue
+        iou = temporal_iou(ann.segment[0], ann.segment[1], loc_sec[0], loc_sec[1])
+        if iou > best_iou:
+            best = (ann.label, iou)
+            best_iou = iou
+    return best
+
+
+def moment_query_metrics(
+    scores: np.ndarray,
+    video_idx: np.ndarray,
+    start_sec: np.ndarray,
+    end_sec: np.ndarray,
+    iou: np.ndarray,
+    ignore: np.ndarray,
+    nms_threshold: float = 0.5,
+    tiou_threshold: float = 0.5,
+    r_at_n: Sequence[int] = (30, 50, 100),
+    robust: bool = True,
+) -> Tuple[float, List[float]]:
+    """One query's full postprocess (the reference worker body, :1236-1330)."""
+    order = np.argsort(-scores, kind="stable")
+    # cluster by video in ranked order
+    kept_global: List[np.ndarray] = []
+    # group moments by video preserving first-appearance order
+    vids_in_order, first_pos = np.unique(video_idx[order], return_index=True)
+    vids_by_appearance = vids_in_order[np.argsort(first_pos)]
+    ranked_vidx = video_idx[order]
+    for vid in vids_by_appearance:
+        members = order[ranked_vidx == vid]  # ranked order within the video
+        dets = np.stack(
+            [start_sec[members], end_sec[members], scores[members]], axis=1
+        ).astype(np.float32)
+        keep = temporal_nms(dets, nms_threshold)
+        keep_set = set(keep)
+        # upstream re-filters in list (=ranked) order (:1306-1309)
+        kept_global.append(members[[i for i in range(len(members)) if i in keep_set]])
+    grouped = np.concatenate(kept_global) if kept_global else np.array([], np.int64)
+    valid = grouped[~ignore[grouped]]
+    if len(valid) == 0:
+        return 0.0, [0.0 for _ in r_at_n]
+    tp = iou[valid] >= tiou_threshold
+    y_true = tp.astype(np.int64).copy()
+    if robust:
+        y_true[-1] = 1  # last item of the *grouped* order (:389)
+    ap = metrics_np.average_precision(y_true, scores[valid])
+    npos = float(tp.sum()) + 1e-10
+    recalls = [float(tp[:n].sum() / npos) for n in r_at_n]
+    return ap, recalls
+
+
+class ARVRetrievalMoment:
+    def __init__(
+        self,
+        db: MomentDB,
+        spec: SplitSpec,
+        extractor: FeatureExtractor,
+        moment_clip_sec: int = 5,
+        max_clips_per_moment: int = 26,
+        fps: int = 3,
+        temporal_stride: int = 1,
+        query_num: int = 1,
+        multi_query_extra: int = 4,
+        nms_threshold: float = 0.5,
+        tiou_threshold: float = 0.5,
+        r_at_n: Sequence[int] = (30, 50, 100),
+        robust_map: bool = True,
+        rank_chunk: int = 128,
+        read_cache: bool = False,
+        workers: int = 8,
+    ):
+        self.extractor = extractor
+        self.moment_clip_sec = moment_clip_sec
+        self.max_clips = max_clips_per_moment
+        self.fps = fps
+        self.temporal_stride = temporal_stride
+        self.query_num = query_num
+        self.multi_query_extra = multi_query_extra
+        self.nms_threshold = nms_threshold
+        self.tiou_threshold = tiou_threshold
+        self.r_at_n = tuple(r_at_n)
+        self.robust_map = robust_map
+        self.rank_chunk = rank_chunk
+        self.read_cache = read_cache
+        self.workers = workers
+        self.possible_classes = set(spec.possible_classes("testing"))
+        self.queries: List[VideoRecord] = db.nonnoise_queries()
+        self.gallery_videos: List[VideoRecord] = db.gallery
+
+    def build_gallery(self):
+        """→ feats [G,C], video_idx [G], start/end_sec [G], hit_label [G],
+        hit_iou [G]."""
+        cache = (
+            self.extractor.load_cache("moment_gallery.npz") if self.read_cache else None
+        )
+        if cache is not None:
+            return (
+                cache["feats"],
+                cache["video_idx"],
+                cache["start_sec"],
+                cache["end_sec"],
+                cache["hit_label"],
+                cache["hit_iou"],
+            )
+        tapes = self.extractor.extract_video_tapes(self.gallery_videos)
+        feats, vidx, s_sec, e_sec, h_label, h_iou = [], [], [], [], [], []
+        moments_per_video = []
+        for vi, (video, tape) in enumerate(zip(self.gallery_videos, tapes)):
+            starts, ends, locs = enumerate_moment_windows(
+                video.activitynet_duration,
+                tape.shape[1],
+                self.moment_clip_sec,
+                self.max_clips,
+                self.fps,
+                self.temporal_stride,
+            )
+            moments_per_video.append(len(starts))
+            if len(starts) == 0:
+                continue
+            wmeans = np.asarray(
+                sliding_window_mean(
+                    jnp.asarray(tape.T), jnp.asarray(starts), jnp.asarray(ends)
+                )
+            )
+            for k in range(len(starts)):
+                hit = closest_hit(video.annotations, locs[k], self.possible_classes)
+                feats.append(wmeans[k])
+                vidx.append(vi)
+                s_sec.append(locs[k][0])
+                e_sec.append(locs[k][1])
+                h_label.append(hit[0] if hit else "")
+                h_iou.append(hit[1] if hit else 0.0)
+        log.info(
+            "moment gallery: %d moments (%.1f / video)",
+            len(feats),
+            float(np.mean(moments_per_video)) if moments_per_video else 0.0,
+        )
+        out = (
+            np.stack(feats),
+            np.array(vidx, np.int64),
+            np.array(s_sec, np.float64),
+            np.array(e_sec, np.float64),
+            np.array(h_label),
+            np.array(h_iou, np.float64),
+        )
+        self.extractor.save_cache(
+            "moment_gallery.npz",
+            feats=out[0],
+            video_idx=out[1],
+            start_sec=out[2],
+            end_sec=out[3],
+            hit_label=out[4],
+            hit_iou=out[5],
+        )
+        return out
+
+    def evaluation(self) -> dict:
+        q_feats_all = self.extractor.extract_trimmed(self.queries)
+        keep = [
+            i for i, q in enumerate(self.queries) if q.label in self.possible_classes
+        ]
+        queries = [self.queries[i] for i in keep]
+        q_feats_all = q_feats_all[keep]
+
+        feats, vidx, s_sec, e_sec, h_label, h_iou = self.build_gallery()
+        gal_video_ids = np.array([self.gallery_videos[v].video_id for v in vidx])
+
+        expanded = generate_multi_query(
+            list(range(len(queries))),
+            label_of=lambda i: queries[i].label,
+            video_id_of=lambda i: queries[i].video_id,
+            extras=self.multi_query_extra,
+        )
+        log.info(
+            "moment ranking: %d queries x %d moments", len(expanded), len(feats)
+        )
+        agg = MetricAggregator(self.r_at_n)
+        agg.set_class_info(
+            [(queries[qs[0]].label, queries[qs[0]].retrieval_type) for qs in expanded]
+        )
+
+        g_dev = jnp.asarray(feats)
+        pool = concurrent.futures.ThreadPoolExecutor(max_workers=self.workers)
+        try:
+            for cstart in range(0, len(expanded), self.rank_chunk):
+                batch = expanded[cstart : cstart + self.rank_chunk]
+                qf = np.stack(
+                    [
+                        np.mean([q_feats_all[i] for i in qs[: self.query_num]], axis=0)
+                        for qs in batch
+                    ]
+                )
+                scores = np.asarray(score_matrix(jnp.asarray(qf), g_dev))
+
+                def one(bi_qs):
+                    bi, qs = bi_qs
+                    q = queries[qs[0]]
+                    iou_q = np.where(h_label == q.label, h_iou, 0.0)
+                    ignore_q = np.isin(
+                        gal_video_ids, [queries[i].video_id for i in qs]
+                    )
+                    ap, recalls = moment_query_metrics(
+                        scores[bi],
+                        vidx,
+                        s_sec,
+                        e_sec,
+                        iou_q,
+                        ignore_q,
+                        self.nms_threshold,
+                        self.tiou_threshold,
+                        self.r_at_n,
+                        self.robust_map,
+                    )
+                    return q.label, q.retrieval_type, ap, recalls
+
+                for label, rtype, ap, recalls in pool.map(one, enumerate(batch)):
+                    agg.add(label, rtype, ap, recalls)
+        finally:
+            pool.shutdown()
+        return {"map05": agg.result()}

@@ -1,0 +1,139 @@
+"""Trimmed video retrieval (ARV_Retrieval, dataloader_baseline.py:1383-1616).
+
+The during-training validation metric and the primary test metric: every
+trimmed segment of the eval split is embedded (temporal mean of normalized
+per-frame features), queries (label ∈ possible classes, is_query==1) are
+ranked against the full gallery (all videos incl. distractor noise) by exact
+L2, and AP/R@N aggregate via MetricAggregator.
+
+The per-query FAISS search + Python dict loop of the reference becomes one
+chunked [Q,G] device computation (ops.ranking).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from vqwild_tpu.core.logging import get_logger
+from vqwild_tpu.data.labels import SplitSpec
+from vqwild_tpu.data.schema import TrimmedDB, VideoRecord
+from vqwild_tpu.ops.distance import score_matrix
+from vqwild_tpu.ops.ranking import ranked_retrieval_metrics
+from vqwild_tpu.retrieval.aggregate import MetricAggregator
+from vqwild_tpu.retrieval.features import FeatureExtractor
+from vqwild_tpu.retrieval.multiquery import generate_multi_query
+
+log = get_logger("retrieval.trimmed")
+
+
+class ARVRetrievalTrimmed:
+    def __init__(
+        self,
+        db: TrimmedDB,
+        spec: SplitSpec,
+        extractor: FeatureExtractor,
+        eval_split: str = "validation",
+        query_num: int = 1,
+        multi_query_extra: int = 4,
+        r_at_n: Sequence[int] = (30, 50, 100),
+        robust_map: bool = True,
+        rank_chunk: int = 256,
+        read_cache: bool = False,
+    ):
+        self.extractor = extractor
+        self.eval_split = eval_split
+        self.query_num = query_num
+        self.multi_query_extra = multi_query_extra
+        self.r_at_n = tuple(r_at_n)
+        self.robust_map = robust_map
+        self.rank_chunk = rank_chunk
+        self.read_cache = read_cache
+        self.possible_classes = set(spec.possible_classes(eval_split))
+        self.records: List[VideoRecord] = db.flat(eval_split)
+        log.info("loaded %d %s records", len(self.records), eval_split)
+
+    def extract_features(self) -> np.ndarray:
+        cache_name = f"trimmed_{self.eval_split}_feats.npz"
+        if self.read_cache:
+            cached = self.extractor.load_cache(cache_name)
+            if cached is not None:
+                return cached["feats"]
+        feats = self.extractor.extract_trimmed(self.records)
+        self.extractor.save_cache(cache_name, feats=feats)
+        return feats
+
+    def evaluation(self) -> dict:
+        gallery_feats = self.extract_features()  # [N, C]
+        n = len(self.records)
+        assert gallery_feats.shape[0] == n
+
+        # queries: label ∈ possible classes AND is_query==1 (:1486-1489, :1521)
+        query_idx = [
+            i
+            for i, r in enumerate(self.records)
+            if r.label in self.possible_classes
+        ]
+        expanded = generate_multi_query(
+            query_idx,
+            label_of=lambda i: self.records[i].label,
+            video_id_of=lambda i: self.records[i].video_id,
+            extras=self.multi_query_extra,
+        )
+        expanded = [qs for qs in expanded if self.records[qs[0]].is_query == 1]
+        log.info(
+            "ranking %d queries against %d gallery items", len(expanded), n
+        )
+        return self._rank(expanded, gallery_feats)
+
+    def _rank(self, expanded, gallery_feats: np.ndarray) -> dict:
+        records = self.records
+        label_ids = {}
+        for r in records:
+            label_ids.setdefault(r.label, len(label_ids))
+        gal_labels = np.array([label_ids[r.label] for r in records], np.int64)
+        vid2idx = {}
+        for i, r in enumerate(records):
+            vid2idx.setdefault(r.video_id, []).append(i)
+
+        agg = MetricAggregator(self.r_at_n)
+        agg.set_class_info(
+            [(records[qs[0]].label, records[qs[0]].retrieval_type) for qs in expanded]
+        )
+
+        g_dev = jnp.asarray(gallery_feats)
+        for start in range(0, len(expanded), self.rank_chunk):
+            batch = expanded[start : start + self.rank_chunk]
+            qfeats = np.stack(
+                [
+                    np.mean(
+                        [gallery_feats[i] for i in qs[: self.query_num]], axis=0
+                    )
+                    for qs in batch
+                ]
+            )
+            tp = np.stack(
+                [gal_labels == label_ids[records[qs[0]].label] for qs in batch]
+            )
+            ignore = np.zeros((len(batch), len(records)), bool)
+            for bi, qs in enumerate(batch):
+                for qi in qs:
+                    for gi in vid2idx.get(records[qi].video_id, ()):
+                        ignore[bi, gi] = True
+
+            scores = score_matrix(jnp.asarray(qfeats), g_dev)
+            out = ranked_retrieval_metrics(
+                scores,
+                jnp.asarray(tp),
+                jnp.asarray(ignore),
+                r_at_n=self.r_at_n,
+                robust=self.robust_map,
+            )
+            aps = np.asarray(out["ap"])
+            recalls = np.asarray(out["recalls"])
+            for bi, qs in enumerate(batch):
+                q = records[qs[0]]
+                agg.add(q.label, q.retrieval_type, float(aps[bi]), recalls[bi].tolist())
+        return agg.result()
