@@ -144,8 +144,8 @@ class TestClipsAndTriplets:
         )
         rng = np.random.default_rng(0)
         batch = ds.build_batch(rng, batch_size=3)
-        assert batch.frames.shape[0] == 9
-        assert batch.frames.dtype == np.uint8
+        assert batch.clips.shape == (9, 4, 64, 64, 3)  # host-cropped
+        assert batch.clips.dtype == np.uint8
         assert batch.labels.shape == (9,)
         # anchor/positive share a label, negative differs
         for t in range(3):
@@ -166,9 +166,7 @@ class TestClipsAndTriplets:
         loader = PrefetchLoader(ds, batch_size=2, steps_per_epoch=5, workers=2, seed=1)
         batches = list(loader.epoch(0))
         assert len(batches) == 5
-        # raw (uncropped) frames: crop/normalize happen on device
-        assert all(b.frames.shape == (6, 4, 128, 171, 3) for b in batches)
-        assert all(b.crop_offsets.shape == (6, 2) for b in batches)
+        assert all(b.clips.shape == (6, 4, 64, 64, 3) for b in batches)
 
     def test_packed_store_roundtrip(self, tmp_path):
         from vqwild_tpu.data.frames import PackedFrameStore

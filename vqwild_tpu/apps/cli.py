@@ -1,0 +1,406 @@
+"""CLI driver — mirrors the reference's ``python main.py`` surface
+(main.py:55-173 argparse, :533-620 main flow).
+
+Training:
+  python main.py --method vasa --meta_split 100_20_80
+Evaluation (all three regimes):
+  python main.py --evaluate --eval_all --test_load <ckpt> --method vasa
+Fake-feature smoke of the whole retrieval stack (no model/data needed):
+  python main.py --evaluate --memory_leak_debug --frame_store synthetic
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import numpy as np
+
+from vqwild_tpu.core.config import (
+    DataConfig,
+    EvalConfig,
+    ExperimentConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from vqwild_tpu.core.logging import RunDir, get_logger
+from vqwild_tpu.data.frames import make_frame_store
+from vqwild_tpu.data.labels import get_split
+from vqwild_tpu.data.schema import (
+    infer_semantic_dim,
+    load_moment_db,
+    load_trimmed_db,
+    load_word_embeddings,
+)
+
+log = get_logger("cli")
+
+# candidate roots for the ARV db / word-embedding artifacts
+_DATA_SEARCH_PATHS = (
+    "",
+    "data",
+    "data_generate",
+    "word_embed",
+    "/root/reference/data_generate",
+    "/root/reference/word_embed",
+)
+
+
+def resolve_data_file(name: str, data_root: str) -> str:
+    if os.path.isabs(name) and os.path.exists(name):
+        return name
+    for root in _DATA_SEARCH_PATHS:
+        cand = os.path.join(data_root, root, name) if root else os.path.join(data_root, name)
+        if os.path.exists(cand):
+            return cand
+        if root.startswith("/") and os.path.exists(os.path.join(root, name)):
+            return os.path.join(root, name)
+    raise FileNotFoundError(
+        f"{name} not found under {data_root} or known data locations"
+    )
+
+
+def parse(argv=None) -> ExperimentConfig:
+    p = argparse.ArgumentParser(description="ARV TPU training / evaluation")
+    p.add_argument("--method", default="baseline", choices=["baseline", "va", "vasa"])
+    p.add_argument(
+        "--meta_split",
+        default="100_20_80",
+        choices=["100_20_80", "120_20_60", "80_20_100", "40_20_140"],
+    )
+    p.add_argument("--data_root", default="data")
+    p.add_argument("--frame_store", default="jpeg", choices=["jpeg", "packed", "synthetic"])
+    p.add_argument("--frames_dir", default="")
+    p.add_argument("--semantic_json", default="wordembed_glove_d200.json")
+    p.add_argument("--batch_size", type=int, default=10)
+    p.add_argument("--test_batch_size", type=int, default=30)
+    p.add_argument("--train_frame", type=int, default=32)
+    p.add_argument("--test_frame", type=int, default=32)
+    p.add_argument("--input_size", type=int, default=112)
+    p.add_argument("--novel_num", type=int, default=5)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=16)
+    p.add_argument("--init_lr", type=float, default=1e-4)
+    p.add_argument("--lr_decay_rate", type=int, default=9)
+    p.add_argument("--weight_decay", type=float, default=1e-5)
+    p.add_argument("--accum_grad", type=int, default=1)
+    p.add_argument("--eval_per_epoch", type=int, default=2)
+    p.add_argument("--manual_seed", type=int, default=0)
+    p.add_argument("--print_freq", type=int, default=100)
+    # upstream declares --moving_average type=int (truncating CLI overrides,
+    # main.py:158) — fixed to float here (documented divergence)
+    p.add_argument("--moving_average", type=float, default=0.9)
+    p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--evaluate", action="store_true")
+    p.add_argument("--eval_split", default="testing", choices=["validation", "testing"])
+    p.add_argument("--eval_clip", action="store_true")
+    p.add_argument("--eval_moment", action="store_true")
+    p.add_argument("--eval_all", action="store_true")
+    p.add_argument("--test_load", default="")
+    p.add_argument("--query_num", type=int, default=1)
+    p.add_argument("--clip_sec", type=int, default=6)
+    p.add_argument("--read_cache_feat", action="store_true")
+    p.add_argument("--memory_leak_debug", action="store_true", help="fake-feature backend")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--run_dir", default="")
+    args = p.parse_args(argv)
+
+    data = DataConfig(
+        meta_split=args.meta_split,
+        data_root=args.data_root,
+        frames_dir=args.frames_dir
+        or os.path.join(args.data_root, "activitynet1.3_train_val_frames_fps3"),
+        semantic_json=args.semantic_json,
+        input_size=args.input_size,
+        train_frame=args.train_frame,
+        test_frame=args.test_frame,
+        novel_num=args.novel_num,
+        batch_size=args.batch_size,
+        test_batch_size=args.test_batch_size,
+        workers=args.workers,
+        frame_store=args.frame_store,
+    )
+    model = ModelConfig(
+        method=args.method,
+        dropout=args.dropout,
+        moving_average=args.moving_average,
+        semantic_dim=infer_semantic_dim(args.semantic_json),
+    )
+    train = TrainConfig(
+        epochs=2 if args.debug else args.epochs,
+        init_lr=args.init_lr,
+        lr_decay_rate=args.lr_decay_rate,
+        weight_decay=args.weight_decay,
+        accum_grad=args.accum_grad,
+        eval_per_epoch=args.eval_per_epoch,
+        manual_seed=args.manual_seed,
+        print_freq=args.print_freq,
+        debug=args.debug,
+    )
+    ev = EvalConfig(
+        eval_split=args.eval_split,
+        query_num=args.query_num,
+        clip_sec=args.clip_sec,
+        read_cache_feat=args.read_cache_feat or args.evaluate,
+        fake_features=args.memory_leak_debug,
+    )
+    cfg = ExperimentConfig(data=data, model=model, train=train, eval=ev, run_dir=args.run_dir)
+    cfg_extra = dict(
+        evaluate=args.evaluate,
+        eval_clip=args.eval_clip,
+        eval_moment=args.eval_moment,
+        eval_all=args.eval_all,
+        test_load=args.test_load,
+    )
+    return cfg, cfg_extra
+
+
+def build_stack(cfg: ExperimentConfig):
+    """Shared setup: split spec, DBs, store, model, semantic memory."""
+    import jax
+
+    from vqwild_tpu.models import build_model, init_model
+
+    spec = get_split(cfg.data.meta_split)
+    db = load_trimmed_db(resolve_data_file(spec.db_json, cfg.data.data_root))
+    store = make_frame_store(cfg.data.frame_store, cfg.data.frames_dir)
+
+    cls2int = db.cls2int(spec, cfg.data.novel_num)
+    semantic_mem = None
+    if cfg.model.method == "vasa":
+        semantic_mem = load_word_embeddings(
+            resolve_data_file(cfg.data.semantic_json, cfg.data.data_root),
+            cls2int,
+            cfg.data.nclass,
+            dim=cfg.model.semantic_dim,
+        )
+    model = build_model(cfg.model)
+    params, state_vars = init_model(
+        model,
+        jax.random.PRNGKey(cfg.train.manual_seed),
+        (1, 2, cfg.data.input_size, cfg.data.input_size, 3),
+        semantic_dim=cfg.model.semantic_dim,
+    )
+    return spec, db, store, model, params, state_vars, semantic_mem, cls2int
+
+
+def load_variables(test_load: str, method: str, model, params, state_vars):
+    """Load either an orbax checkpoint dir or a reference .pth(.tar)."""
+    from vqwild_tpu.models import torch_import
+    from vqwild_tpu.train.checkpoint import CheckpointManager
+
+    init_vars = {"params": params, **state_vars}
+    if not test_load:
+        return init_vars
+    if os.path.isdir(test_load):
+        mgr = CheckpointManager(os.path.dirname(os.path.abspath(test_load)) or ".")
+        payload = mgr.restore(os.path.basename(test_load))
+        out = {"params": payload["params"], "batch_stats": payload["batch_stats"]}
+        if payload.get("memory"):
+            out["memory"] = payload["memory"]
+        return out
+    imported = torch_import.import_reference_checkpoint(test_load, method)
+    return torch_import.merge_variables(init_vars, imported)
+
+
+def run_evaluation(cfg, extra, run_dir: RunDir):
+    import jax
+
+    from vqwild_tpu.retrieval import (
+        ARVRetrievalClip,
+        ARVRetrievalMoment,
+        ARVRetrievalTrimmed,
+    )
+    from vqwild_tpu.retrieval.features import (
+        FeatureExtractor,
+        make_fake_feat_fn,
+        make_feat_fn,
+    )
+
+    spec, db, store, model, params, state_vars, semantic_mem, _ = build_stack(cfg)
+    if cfg.eval.fake_features:
+        feat_fn = make_fake_feat_fn(cfg.model.feat_dim)
+    else:
+        variables = load_variables(
+            extra.get("test_load", ""), cfg.model.method, model, params, state_vars
+        )
+        feat_fn = make_feat_fn(model, variables)
+    extractor = FeatureExtractor(
+        feat_fn,
+        store,
+        test_frames=cfg.data.test_frame,
+        test_batch_size=cfg.data.test_batch_size,
+        input_size=cfg.data.input_size,
+        fps=cfg.data.fps,
+        fake=cfg.eval.fake_features,
+        cache_dir=os.path.join(run_dir.path, "cache"),
+        max_batches=8 if cfg.train.debug else None,
+    )
+    results = {}
+    want_clip = extra.get("eval_clip") or extra.get("eval_all")
+    want_moment = extra.get("eval_moment") or extra.get("eval_all")
+    want_trimmed = extra.get("eval_all") or not (
+        extra.get("eval_clip") or extra.get("eval_moment")
+    )
+    if want_trimmed:
+        results["trimmed"] = ARVRetrievalTrimmed(
+            db,
+            spec,
+            extractor,
+            eval_split=cfg.eval.eval_split,
+            query_num=cfg.eval.query_num,
+            r_at_n=cfg.eval.r_at_n,
+            robust_map=cfg.eval.robust_map,
+            rank_chunk=cfg.eval.rank_chunk,
+            read_cache=cfg.eval.read_cache_feat,
+        ).evaluation()
+    if want_clip or want_moment:
+        mdb = load_moment_db(resolve_data_file(spec.moment_db_json, cfg.data.data_root))
+        if want_clip:
+            results["clip"] = ARVRetrievalClip(
+                mdb,
+                spec,
+                extractor,
+                clip_sec=cfg.eval.clip_sec,
+                fps=cfg.data.fps,
+                temporal_stride=cfg.eval.temporal_stride,
+                query_num=cfg.eval.query_num,
+                r_at_n=cfg.eval.r_at_n,
+                robust_map=cfg.eval.robust_map,
+                rank_chunk=cfg.eval.rank_chunk,
+                read_cache=cfg.eval.read_cache_feat,
+            ).evaluation()
+        if want_moment:
+            results["moment"] = ARVRetrievalMoment(
+                mdb,
+                spec,
+                extractor,
+                moment_clip_sec=cfg.eval.moment_clip_sec,
+                max_clips_per_moment=cfg.eval.max_clips_per_moment,
+                fps=cfg.data.fps,
+                temporal_stride=cfg.eval.temporal_stride,
+                query_num=cfg.eval.query_num,
+                nms_threshold=cfg.eval.nms_threshold,
+                tiou_threshold=cfg.eval.tiou_threshold,
+                r_at_n=cfg.eval.r_at_n,
+                robust_map=cfg.eval.robust_map,
+                rank_chunk=cfg.eval.rank_chunk,
+                read_cache=cfg.eval.read_cache_feat,
+                workers=cfg.data.workers,
+            ).evaluation()
+    run_dir.write_metrics("evaluation", results)
+    for name, r in results.items():
+        ap = r.get("ap") if "ap" in r else r.get("map05", {}).get("ap")
+        log.warning("%s: headline ap=%.4f", name, float(ap))
+    return results
+
+
+def run_training(cfg, extra, run_dir: RunDir):
+    import jax
+    import jax.numpy as jnp
+
+    from vqwild_tpu.data.triplets import PrefetchLoader, TripletDataset
+    from vqwild_tpu.parallel.mesh import make_mesh
+    from vqwild_tpu.retrieval import ARVRetrievalTrimmed
+    from vqwild_tpu.retrieval.features import FeatureExtractor, make_feat_fn
+    from vqwild_tpu.train.checkpoint import CheckpointManager
+    from vqwild_tpu.train.loop import TrainLoop
+    from vqwild_tpu.train.step import create_train_state, make_optimizer, make_train_step
+
+    spec, db, store, model, params, state_vars, semantic_mem, _ = build_stack(cfg)
+    dataset = TripletDataset(
+        db,
+        spec,
+        store,
+        novel_num=cfg.data.novel_num,
+        train_frames=cfg.data.train_frame,
+        crop_size=cfg.data.input_size,
+        fps=cfg.data.fps,
+        nclass=cfg.data.nclass,
+    )
+    steps_per_epoch = max(1, len(dataset) // cfg.data.batch_size)
+    if cfg.train.debug:
+        steps_per_epoch = min(steps_per_epoch, 2)
+    loader = PrefetchLoader(
+        dataset,
+        batch_size=cfg.data.batch_size,
+        steps_per_epoch=steps_per_epoch,
+        workers=cfg.data.workers,
+        seed=cfg.train.manual_seed,
+    )
+    tx = make_optimizer(
+        cfg.train.init_lr,
+        cfg.train.weight_decay,
+        steps_per_epoch,
+        cfg.train.lr_decay_rate,
+        accum_grad=cfg.train.accum_grad,
+    )
+    state = create_train_state(
+        model, params, state_vars, tx, jax.random.PRNGKey(cfg.train.manual_seed)
+    )
+    sem = jnp.asarray(semantic_mem) if semantic_mem is not None else None
+    step = make_train_step(model, tx, semantic_memory=sem)
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+
+    def eval_fn(st, epoch):
+        variables = {"params": st.params, "batch_stats": st.batch_stats}
+        if st.memory:
+            variables["memory"] = st.memory
+        extractor = FeatureExtractor(
+            make_feat_fn(model, variables),
+            store,
+            test_frames=cfg.data.test_frame,
+            test_batch_size=cfg.data.test_batch_size,
+            input_size=cfg.data.input_size,
+            fps=cfg.data.fps,
+            max_batches=8 if cfg.train.debug else None,
+        )
+        return ARVRetrievalTrimmed(
+            db,
+            spec,
+            extractor,
+            eval_split="validation",
+            query_num=cfg.eval.query_num,
+            r_at_n=cfg.eval.r_at_n,
+            robust_map=cfg.eval.robust_map,
+            rank_chunk=cfg.eval.rank_chunk,
+        ).evaluation()
+
+    ckpt = CheckpointManager(run_dir.checkpoint_dir())
+    loop = TrainLoop(
+        step,
+        loader,
+        epochs=cfg.train.epochs,
+        eval_fn=eval_fn,
+        eval_per_epoch=cfg.train.eval_per_epoch,
+        ckpt=ckpt,
+        mesh=mesh,
+        print_freq=cfg.train.print_freq,
+    )
+    result = loop.run(state)
+    log.warning("training done: best ap=%.4f @ epoch %d", result.best_score, result.best_epoch)
+
+    # final: reload best, evaluate on testing with all regimes (main.py:606-617)
+    if ckpt.exists("best"):
+        extra = dict(extra, evaluate=True, eval_all=True, test_load=os.path.join(run_dir.checkpoint_dir(), "best"))
+        import dataclasses as _dc
+
+        final_cfg = _dc.replace(
+            cfg, eval=_dc.replace(cfg.eval, eval_split="testing", read_cache_feat=False)
+        )
+        return run_evaluation(final_cfg, extra, run_dir)
+    return {"best_ap": result.best_score}
+
+
+def main(argv=None):
+    cfg, extra = parse(argv)
+    run_dir = RunDir.create(cfg)
+    log.info("run dir: %s", run_dir.path)
+    if extra["evaluate"]:
+        return run_evaluation(cfg, extra, run_dir)
+    return run_training(cfg, extra, run_dir)
+
+
+if __name__ == "__main__":
+    main()

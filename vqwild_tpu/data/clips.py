@@ -81,3 +81,13 @@ def batch_raw_clips(clips) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     offsets = np.array([[c.crop.top, c.crop.left] for c in clips], dtype=np.int32)
     flips = np.array([c.crop.flip for c in clips], dtype=bool)
     return frames, offsets, flips
+
+
+def batch_cropped_clips(clips) -> np.ndarray:
+    """Stack RawClips with their crop/flip applied on host → [B,T,s,s,C] u8.
+
+    The production path: cropped uint8 is the smallest host→device transfer,
+    and normalization fuses into the model jit (ops/preprocess.py)."""
+    return np.stack(
+        [transforms.apply_crop(c.frames, c.crop) for c in clips], axis=0
+    )

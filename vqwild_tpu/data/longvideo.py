@@ -19,7 +19,7 @@ from typing import Iterator, List, Sequence, Tuple
 
 import numpy as np
 
-from vqwild_tpu.data.clips import batch_raw_clips, read_clip_raw
+from vqwild_tpu.data.clips import batch_cropped_clips, read_clip_raw
 from vqwild_tpu.data.frames import FrameStore
 from vqwild_tpu.data.sampling import chunk_ranges
 from vqwild_tpu.data.schema import VideoRecord
@@ -51,8 +51,8 @@ def read_chunk_batch(
     test_frames: int,
     crop_size: int = 112,
     fps: int = 3,
-):
-    """Batch of chunks → (frames u8, crop offsets, flips) + the refs."""
+) -> "np.ndarray":
+    """Batch of chunks → cropped uint8 clips [N,T,s,s,C] (CenterCrop)."""
     clips = [
         read_clip_raw(
             store,
@@ -66,7 +66,7 @@ def read_chunk_batch(
         )
         for r in refs
     ]
-    return batch_raw_clips(clips)
+    return batch_cropped_clips(clips)
 
 
 def concat_video_tapes(

@@ -11,9 +11,10 @@ Known upstream divergence (documented): upstream's negative-class draw
 the anchor class name — a no-op — so upstream can draw negative==anchor with
 probability 1/nclass. We implement the intended exclusion.
 
-Batches are emitted TPU-ready: uint8 frames [B*3,T,H,W,C] + crop offsets +
-labels; crop/normalize run on device. A background thread pool keeps the
-accelerator fed (replacing torch DataLoader workers, main.py:96-101).
+Batches are emitted TPU-ready: crop/flip applied on host (memcpy-cheap numpy
+slicing in the worker threads), uint8 clips [B*3,T,s,s,C] shipped to device,
+normalization fused into the train-step jit. A background thread pool keeps
+the accelerator fed (replacing torch DataLoader workers, main.py:96-101).
 """
 
 from __future__ import annotations
@@ -26,7 +27,7 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 from vqwild_tpu.core.logging import get_logger
-from vqwild_tpu.data.clips import RawClip, batch_raw_clips, read_clip_raw
+from vqwild_tpu.data.clips import RawClip, batch_cropped_clips, read_clip_raw
 from vqwild_tpu.data.frames import FrameStore
 from vqwild_tpu.data.labels import SplitSpec
 from vqwild_tpu.data.schema import TrimmedDB, VideoRecord
@@ -36,10 +37,8 @@ log = get_logger("data.triplets")
 
 @dataclasses.dataclass
 class TripletBatch:
-    frames: np.ndarray  # [B*3, T, H, W, C] uint8 (anchor,pos,neg per triplet)
-    crop_offsets: np.ndarray  # [B*3, 2] int32 (top, left)
-    flips: np.ndarray  # [B*3] bool
-    labels: np.ndarray  # [B*3] int32 class indices
+    clips: np.ndarray  # [B*3, T, s, s, C] uint8, crop/flip applied on host
+    labels: np.ndarray  # [B*3] int32 class indices (anchor,pos,neg per triplet)
 
 
 class TripletDataset:
@@ -124,9 +123,8 @@ class TripletDataset:
         clips: List[RawClip] = []
         for _ in range(batch_size):
             clips.extend(self.sample_triplet(rng))
-        frames, offsets, flips = batch_raw_clips(clips)
         labels = np.array([c.label for c in clips], dtype=np.int32)
-        return TripletBatch(frames=frames, crop_offsets=offsets, flips=flips, labels=labels)
+        return TripletBatch(clips=batch_cropped_clips(clips), labels=labels)
 
 
 class PrefetchLoader:

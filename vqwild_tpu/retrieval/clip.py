@@ -119,10 +119,9 @@ class ARVRetrievalClip:
 
     def evaluation(self) -> dict:
         q_feats_all = self.extractor.extract_trimmed(self.queries)
-        keep = [
-            i for i, q in enumerate(self.queries) if q.label in self.possible_classes
-        ]
-        queries = [self.queries[i] for i in keep]
+        pool = self.queries[: q_feats_all.shape[0]]  # capped in debug
+        keep = [i for i, q in enumerate(pool) if q.label in self.possible_classes]
+        queries = [pool[i] for i in keep]
         q_feats_all = q_feats_all[keep]
 
         gal_feats, gal_labels, gal_vidx = self.build_gallery()

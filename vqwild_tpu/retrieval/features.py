@@ -21,21 +21,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from vqwild_tpu.core.logging import get_logger
-from vqwild_tpu.data.clips import batch_raw_clips, read_clip_raw
+from vqwild_tpu.data.clips import batch_cropped_clips, read_clip_raw
 from vqwild_tpu.data.frames import FrameStore
 from vqwild_tpu.data.longvideo import concat_video_tapes, enumerate_chunks, read_chunk_batch
 from vqwild_tpu.data.schema import VideoRecord
-from vqwild_tpu.ops.preprocess import preprocess_clips
+from vqwild_tpu.ops.preprocess import normalize_clips
 
 log = get_logger("retrieval.features")
 
 
 def make_feat_fn(model, variables) -> Callable:
-    """Returns f(clips_f32 [B,T,H,W,C]) → np [B, C, T], frame embeddings
-    L2-normalized across channels (main.py:232)."""
+    """Returns f(clips [B,T,s,s,C] uint8-cropped or float) → np [B, C, T],
+    frame embeddings L2-normalized across channels (main.py:232). uint8 input
+    gets ImageNet-normalized on device inside the jit."""
 
     @jax.jit
     def _fwd(x):
+        if x.dtype == jnp.uint8:
+            x = normalize_clips(x, out_dtype=model.dtype)
         out = model.apply(variables, x, train=False)
         fe = out.frame_embed  # [B, T, C]
         fe = fe / jnp.maximum(jnp.linalg.norm(fe, axis=-1, keepdims=True), 1e-12)
@@ -75,6 +78,7 @@ class FeatureExtractor:
         fps: int = 3,
         fake: bool = False,
         cache_dir: Optional[str] = None,
+        max_batches: Optional[int] = None,
     ):
         self.feat_fn = feat_fn
         self.store = store
@@ -84,15 +88,21 @@ class FeatureExtractor:
         self.fps = fps
         self.fake = fake
         self.cache_dir = cache_dir
+        # debug cap on eval feature batches (reference debug_iter,
+        # dataloader_baseline.py:17, :718-719, :1459)
+        self.max_batches = max_batches
 
-    # -- device-fused preprocess: uint8 raw frames → normalized crops --
-    def _embed_raw(self, frames, offsets, flips) -> np.ndarray:
-        clips = preprocess_clips(frames, offsets, flips, self.input_size)
-        return self.feat_fn(clips)
+    def _embed_cropped(self, clips_u8) -> np.ndarray:
+        """cropped uint8 clips → [B, C, T] features; normalization happens on
+        device inside feat_fn's jit (feat_fn accepts uint8)."""
+        return self.feat_fn(clips_u8)
 
     def extract_trimmed(self, records: Sequence[VideoRecord]) -> np.ndarray:
-        """[N, C] clip features: per-frame embeddings mean-pooled over T
-        (dataloader_baseline.py:1481-1483). CenterCrop at eval."""
+        """[N', C] clip features (N' < N under a debug cap): per-frame
+        embeddings mean-pooled over T (dataloader_baseline.py:1481-1483).
+        CenterCrop at eval."""
+        if self.max_batches is not None:
+            records = list(records)[: self.max_batches * self.test_batch_size]
         feats: List[np.ndarray] = []
         for batch in _chunks(list(records), self.test_batch_size):
             if self.fake:
@@ -111,15 +121,17 @@ class FeatureExtractor:
                     )
                     for rec in batch
                 ]
-                frames, offsets, flips = batch_raw_clips(clips)
-                f = self._embed_raw(frames, offsets, flips)
+                f = self._embed_cropped(batch_cropped_clips(clips))
             feats.append(np.mean(f, axis=-1))  # [B, C]
         return np.concatenate(feats, axis=0)
 
     def extract_video_tapes(self, gallery: Sequence[VideoRecord]) -> List[np.ndarray]:
         """Per-video feature tapes [C, T_total] from contiguous chunks
-        (dataloader_baseline.py:742-784)."""
+        (dataloader_baseline.py:742-784). Videos left without chunks under a
+        debug cap get empty tapes (callers skip zero-length tapes)."""
         refs = enumerate_chunks(gallery, self.store, self.test_frames)
+        if self.max_batches is not None:
+            refs = refs[: self.max_batches * self.test_batch_size]
         all_feats: List[np.ndarray] = []
         for ref_batch in _chunks(refs, self.test_batch_size):
             if self.fake:
@@ -127,10 +139,16 @@ class FeatureExtractor:
                     np.zeros((len(ref_batch), self.test_frames, 1, 1, 3), np.float32)
                 )
             else:
-                frames, offsets, flips = read_chunk_batch(
-                    ref_batch, gallery, self.store, self.test_frames, self.input_size, self.fps
+                f = self._embed_cropped(
+                    read_chunk_batch(
+                        ref_batch,
+                        gallery,
+                        self.store,
+                        self.test_frames,
+                        self.input_size,
+                        self.fps,
+                    )
                 )
-                f = self._embed_raw(frames, offsets, flips)
             all_feats.extend(f)
         return concat_video_tapes(np.asarray(all_feats), refs, len(gallery))
 

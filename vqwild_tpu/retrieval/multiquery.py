@@ -33,6 +33,9 @@ def generate_multi_query(
     expanded: List[List[T]] = []
     for q in query_list:
         same = [o for o in cls_dict[label_of(q)] if video_id_of(o) != video_id_of(q)]
-        extra = rng.choices(same, k=extras)
+        # upstream would crash on a singleton query class (random.choices on an
+        # empty list); degrade to no extras instead (documented divergence —
+        # only reachable on truncated/debug query sets)
+        extra = rng.choices(same, k=extras) if same else []
         expanded.append([q] + extra)
     return expanded

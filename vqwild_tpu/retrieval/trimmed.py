@@ -66,7 +66,9 @@ class ARVRetrievalTrimmed:
         return feats
 
     def evaluation(self) -> dict:
-        gallery_feats = self.extract_features()  # [N, C]
+        gallery_feats = self.extract_features()  # [N, C] (N capped in debug)
+        if gallery_feats.shape[0] < len(self.records):
+            self.records = self.records[: gallery_feats.shape[0]]
         n = len(self.records)
         assert gallery_feats.shape[0] == n
 

@@ -1,0 +1,152 @@
+"""The jitted training step.
+
+Per-method loss assembly mirrors the reference train loops (main.py:332-531):
+  baseline: CE(classifier logits)
+  va:       CE(non-local logits) + CE(register logits)
+  vasa:     + CE(word logits)
+all with targets expanded per clip (anchor, positive, negative → 3 labels per
+triplet, main.py:348-359).
+
+The optimizer reproduces torch Adam(lr=1e-4, weight_decay=1e-5): L2 decay is
+added to the gradient *before* the Adam moments (torch semantics, not AdamW),
+and the LR steps ×0.1 at epoch ``lr_decay_rate`` (main.py:176-191).
+
+TPU-first structure: the step consumes *cropped uint8 clips* (crop/flip are
+memcpy-cheap host slicing in the loader threads; see ops/preprocess.py) and
+fuses ToTensor+ImageNet normalization into the jit graph, so the host ships
+4×-smaller uint8 and normalization overlaps MXU work. The EMA visual memory
+rides in TrainState (explicit carried state); under a data mesh the update is
+computed from the global batch, keeping replicas consistent by construction —
+a semantic the reference's single-process DataParallel never had to define.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from vqwild_tpu.models.arv import ARVModel
+from vqwild_tpu.ops.preprocess import normalize_clips
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    batch_stats: Any
+    memory: Any  # {} for baseline
+    dropout_rng: jnp.ndarray
+
+
+def make_optimizer(
+    init_lr: float,
+    weight_decay: float,
+    steps_per_epoch: int,
+    lr_decay_epoch: int,
+    lr_decay_factor: float = 0.1,
+    accum_grad: int = 1,
+) -> optax.GradientTransformation:
+    schedule = optax.piecewise_constant_schedule(
+        init_value=init_lr,
+        boundaries_and_scales={steps_per_epoch * lr_decay_epoch: lr_decay_factor},
+    )
+    tx = optax.chain(
+        optax.add_decayed_weights(weight_decay),  # torch Adam L2 (pre-moment)
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale_by_schedule(schedule),
+        optax.scale(-1.0),
+    )
+    if accum_grad > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_grad)
+    return tx
+
+
+def create_train_state(
+    model: ARVModel,
+    params,
+    state_vars,
+    tx: optax.GradientTransformation,
+    rng,
+) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        batch_stats=state_vars.get("batch_stats", {}),
+        memory=state_vars.get("memory", {}),
+        dropout_rng=rng,
+    )
+
+
+def make_train_step(
+    model: ARVModel,
+    tx: optax.GradientTransformation,
+    semantic_memory: Optional[jnp.ndarray] = None,
+    donate: bool = True,
+) -> Callable:
+    method = model.method
+    ce = optax.softmax_cross_entropy_with_integer_labels
+
+    def step_fn(state: TrainState, clips_u8, labels):
+        """clips_u8 uint8 [B,T,s,s,C] (cropped); labels int32 [B]."""
+        rng, new_rng = jax.random.split(state.dropout_rng)
+        clips = normalize_clips(clips_u8, out_dtype=model.dtype)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            mutable = ["batch_stats"]
+            if method in ("va", "vasa"):
+                variables["memory"] = state.memory
+                mutable.append("memory")
+            out, muts = model.apply(
+                variables,
+                clips,
+                targets=labels,
+                semantic_memory=semantic_memory,
+                train=True,
+                mutable=mutable,
+                rngs={"dropout": rng},
+            )
+            if method == "baseline":
+                ce_loss = ce(out.logits, labels).mean()
+                losses = {"ce_loss": ce_loss}
+                total = ce_loss
+            elif method == "va":
+                ce_loss = ce(out.nled_logits, labels).mean()
+                reg_loss = ce(out.reg_logits, labels).mean()
+                losses = {"ce_loss": ce_loss, "reg_loss": reg_loss}
+                total = ce_loss + reg_loss
+            else:  # vasa
+                ce_loss = ce(out.nled_logits, labels).mean()
+                reg_loss = ce(out.reg_logits, labels).mean()
+                word_loss = ce(out.word_logits, labels).mean()
+                losses = {
+                    "ce_loss": ce_loss,
+                    "reg_loss": reg_loss,
+                    "word_loss": word_loss,
+                }
+                total = ce_loss + reg_loss + word_loss
+            losses["loss"] = total
+            return total, (losses, muts)
+
+        (_, (losses, muts)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            batch_stats=muts["batch_stats"],
+            memory=muts.get("memory", state.memory),
+            dropout_rng=new_rng,
+        )
+        return new_state, losses
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
