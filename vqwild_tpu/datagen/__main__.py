@@ -1,0 +1,101 @@
+"""CLI for the offline pipeline:
+
+  python -m vqwild_tpu.datagen segments --activitynet activity_net.v1-3.min.json --out video_segment.json
+  python -m vqwild_tpu.datagen splitdb  --segments video_segment.json --meta_split 100_20_80 --out arv_db_100_20_80.json
+  python -m vqwild_tpu.datagen momentdb --activitynet activity_net.v1-3.min.json --meta_split 100_20_80 --out arv_db_100_20_80_untrimmed_v2.json
+  python -m vqwild_tpu.datagen frames   --activitynet ... --videos_dir ... --out_dir data/activitynet1.3_train_val_frames_fps3
+  python -m vqwild_tpu.datagen pack     --jpeg_root ... --out_root ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from vqwild_tpu.data.labels import get_split
+from vqwild_tpu.datagen import pipeline
+from vqwild_tpu.datagen.frames import extract_all
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="vqwild_tpu.datagen")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s0 = sub.add_parser("segments")
+    s0.add_argument("--activitynet", required=True)
+    s0.add_argument("--out", default="video_segment.json")
+    s0.add_argument("--seed", type=int, default=620)
+
+    s1 = sub.add_parser("splitdb")
+    s1.add_argument("--segments", required=True)
+    s1.add_argument("--meta_split", default="100_20_80")
+    s1.add_argument("--out", default="")
+
+    s2 = sub.add_parser("momentdb")
+    s2.add_argument("--activitynet", required=True)
+    s2.add_argument("--meta_split", default="100_20_80")
+    s2.add_argument("--out", default="")
+
+    s3 = sub.add_parser("frames")
+    s3.add_argument("--activitynet", required=True)
+    s3.add_argument("--videos_dir", required=True)
+    s3.add_argument("--out_dir", required=True)
+    s3.add_argument("--processes", type=int, default=16)
+
+    s4 = sub.add_parser("pack")
+    s4.add_argument("--jpeg_root", required=True)
+    s4.add_argument("--out_root", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "segments":
+        with open(args.activitynet) as f:
+            anet = json.load(f)
+        segs = pipeline.generate_video_segments(anet, seed=args.seed)
+        pipeline.write_json(segs, args.out)
+        noise = sum(1 for s in segs if s["label"] == pipeline.NOISE_LABEL)
+        print(f"total={len(segs)} normal={len(segs)-noise} noise={noise}")
+    elif args.cmd == "splitdb":
+        spec = get_split(args.meta_split)
+        with open(args.segments) as f:
+            segs = json.load(f)
+        db = pipeline.generate_split_db(
+            segs, spec.train_labels, spec.val_labels, spec.test_labels
+        )
+        out = args.out or f"arv_db_{args.meta_split}.json"
+        pipeline.write_json(db, out)
+        print(f"wrote {out}")
+    elif args.cmd == "momentdb":
+        spec = get_split(args.meta_split)
+        with open(args.activitynet) as f:
+            anet = json.load(f)
+        db = pipeline.generate_moment_db(
+            anet, spec.train_labels, spec.val_labels, spec.test_labels
+        )
+        out = args.out or f"arv_db_{args.meta_split}_untrimmed_v2.json"
+        pipeline.write_json(db, out)
+        print(f"query={len(db['query'])} gallery={len(db['gallery'])} → {out}")
+    elif args.cmd == "frames":
+        with open(args.activitynet) as f:
+            anet = json.load(f)
+        jobs = []
+        for vid, v in anet["database"].items():
+            if v["subset"] == "testing":
+                continue
+            src = os.path.join(args.videos_dir, f"v_{vid}.mp4")
+            if os.path.exists(src):
+                jobs.append((src, os.path.join(args.out_dir, v["subset"], vid)))
+        print(f"{len(jobs)} videos to extract")
+        results = extract_all(jobs, processes=args.processes)
+        failed = [r for r in results if not r[1]]
+        print(f"done; {len(failed)} failures")
+    elif args.cmd == "pack":
+        from vqwild_tpu.data.frames import PackedFrameStore
+
+        PackedFrameStore.pack_from_jpeg(args.jpeg_root, args.out_root)
+        print(f"packed → {args.out_root}")
+
+
+if __name__ == "__main__":
+    main()
