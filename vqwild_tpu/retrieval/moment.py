@@ -222,6 +222,22 @@ class ARVRetrievalMoment:
         feats, vidx, s_sec, e_sec, h_label, h_iou = self.build_gallery()
         gal_video_ids = np.array([self.gallery_videos[v].video_id for v in vidx])
 
+        try:
+            from vqwild_tpu.native import lib as native_lib
+
+            use_native = native_lib.available()
+        except ImportError:
+            use_native = False
+        if use_native:
+            label_ids = {"": -1}
+            for lab in list(h_label) + [q.label for q in queries]:
+                label_ids.setdefault(lab, len(label_ids))
+            hit_label_ids = np.array([label_ids[l] for l in h_label], np.int32)
+            video_id_to_idx = {
+                v.video_id: i for i, v in enumerate(self.gallery_videos)
+            }
+            log.info("moment postprocess: native engine, %d threads", self.workers)
+
         expanded = generate_multi_query(
             list(range(len(queries))),
             label_of=lambda i: queries[i].label,
@@ -248,6 +264,43 @@ class ARVRetrievalMoment:
                     ]
                 )
                 scores = np.asarray(score_matrix(jnp.asarray(qf), g_dev))
+
+                if use_native:
+                    max_ig = max(len(qs) for qs in batch)
+                    ignore_vids = np.full((len(batch), max_ig), -1, np.int32)
+                    q_label_ids = np.empty(len(batch), np.int32)
+                    for bi, qs in enumerate(batch):
+                        q_label_ids[bi] = label_ids[queries[qs[0]].label]
+                        k = 0  # compact: -1 is the terminator sentinel
+                        for qi in qs:
+                            gidx = video_id_to_idx.get(queries[qi].video_id)
+                            if gidx is not None:
+                                ignore_vids[bi, k] = gidx
+                                k += 1
+                    aps, recalls = native_lib.moment_batch(
+                        scores,
+                        vidx,
+                        s_sec,
+                        e_sec,
+                        hit_label_ids,
+                        h_iou,
+                        q_label_ids,
+                        ignore_vids,
+                        self.nms_threshold,
+                        self.tiou_threshold,
+                        self.r_at_n,
+                        self.robust_map,
+                        n_threads=self.workers,
+                    )
+                    for bi, qs in enumerate(batch):
+                        q = queries[qs[0]]
+                        agg.add(
+                            q.label,
+                            q.retrieval_type,
+                            float(aps[bi]),
+                            recalls[bi].tolist(),
+                        )
+                    continue
 
                 def one(bi_qs):
                     bi, qs = bi_qs
