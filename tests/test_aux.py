@@ -1,0 +1,109 @@
+import json
+
+import numpy as np
+import pytest
+
+from vqwild_tpu.core.summaries import model_summary, optimizer_summary
+from vqwild_tpu.wordembed import build as we_build
+from vqwild_tpu.wordembed.check import nearest_neighbor_report
+
+
+class TestSummaries:
+    def test_model_summary_counts(self):
+        params = {"fc": {"kernel": np.zeros((4, 8)), "bias": np.zeros(8)}}
+        assert model_summary(params) == 40
+        optimizer_summary(1e-4, 1e-5, 9)
+
+
+class TestWordEmbed:
+    def test_tokenize_substitutions(self):
+        assert we_build.tokenize_label("Mooping floor") == ["cleaning", "floor"]
+        assert we_build.tokenize_label("Slacklining") == ["slackline"]
+        assert we_build.tokenize_label("Carving jack-o-lanterns") == [
+            "carving",
+            "carving",
+            "halloween",
+            "pumpkin",
+        ]
+        assert we_build.tokenize_label("Playing Congas") == ["playing", "congas"]
+
+    def test_build_and_check(self, tmp_path):
+        vectors = {
+            "playing": np.array([1.0, 0.0], np.float32),
+            "congas": np.array([0.0, 1.0], np.float32),
+            "drums": np.array([0.1, 0.9], np.float32),
+            "archery": np.array([-1.0, 0.0], np.float32),
+        }
+        embeds = we_build.build_class_embeddings(
+            ["Playing congas", "Playing drums", "Archery", "Zumba"], vectors
+        )
+        np.testing.assert_allclose(embeds["Playing congas"], [0.5, 0.5], atol=1e-6)
+        assert np.allclose(embeds["Zumba"], 0.0)  # all tokens OOV → zeros
+        path = str(tmp_path / "e.json")
+        we_build.write_embeddings_json(embeds, path)
+        report = nearest_neighbor_report(path, topk=2)
+        # congas' nearest non-self neighbor is drums
+        assert report["Playing congas"][0]["label"] == "Playing congas"
+        assert report["Playing congas"][1]["label"] == "Playing drums"
+
+    def test_load_vector_table(self, tmp_path):
+        p = tmp_path / "vec.txt"
+        p.write_text("2 3\nfoo 1 2 3\nbar 4 5 6\n")
+        table = we_build.load_vector_table(str(p))
+        assert set(table) == {"foo", "bar"}
+        np.testing.assert_allclose(table["bar"], [4, 5, 6])
+
+
+class TestDiagnostics:
+    def test_trimmed_cm_dict(self, tiny_arv):
+        from vqwild_tpu.data.frames import SyntheticFrameStore
+        from vqwild_tpu.data.schema import load_trimmed_db
+        from vqwild_tpu.retrieval import ARVRetrievalTrimmed
+        from vqwild_tpu.retrieval.features import FeatureExtractor, make_fake_feat_fn
+
+        db = load_trimmed_db(tiny_arv["db_path"])
+        ex = FeatureExtractor(
+            make_fake_feat_fn(16, seed=0),
+            SyntheticFrameStore(),
+            test_frames=4,
+            test_batch_size=8,
+            input_size=64,
+            fake=True,
+        )
+        ev = ARVRetrievalTrimmed(
+            db,
+            tiny_arv["spec"],
+            ex,
+            eval_split="validation",
+            r_at_n=(5,),
+            collect_diagnostics=True,
+        )
+        r = ev.evaluation()
+        cm = r["cm_dict"]
+        assert len(cm["gt_labels"]) == len(cm["label"])
+        assert cm["top30_result_list"] and len(cm["top30_result_list"][0]) <= 30
+        assert cm["base_classes"] and cm["novel_classes"]
+        assert cm["query_duration_map_dict"]
+
+
+class TestRankingLoss:
+    def test_ranking_weight_adds_loss(self):
+        import jax
+
+        from tests.test_train import rand_batch, small_setup
+        from vqwild_tpu.train.step import make_train_step
+
+        model, state, _ = small_setup("baseline")
+        import optax
+
+        from vqwild_tpu.train.step import make_optimizer
+
+        tx = make_optimizer(1e-3, 0.0, 10, 9)
+        step = make_train_step(model, tx, ranking_weight=0.5, donate=False)
+        rng = np.random.default_rng(0)
+        clips, labels = rand_batch(rng, b=6)
+        # triplet structure: (a, p, n) per 3 consecutive clips
+        labels = np.array([0, 0, 1, 2, 2, 3], np.int32)
+        s1, losses = step(state, clips, labels)
+        assert "ranking_loss" in losses and np.isfinite(float(losses["ranking_loss"]))
+        assert float(losses["loss"]) >= float(losses["ce_loss"])

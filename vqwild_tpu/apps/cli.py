@@ -104,6 +104,12 @@ def parse(argv=None) -> ExperimentConfig:
     p.add_argument("--memory_leak_debug", action="store_true", help="fake-feature backend")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--run_dir", default="")
+    p.add_argument("--ranking_weight", type=float, default=0.0,
+                   help="adds a triplet ranking loss over the loader's triplet structure")
+    p.add_argument("--triplet_margin", type=float, default=1.0)
+    p.add_argument("--collect_diagnostics", action="store_true",
+                   help="collect the cm_dict confusion/top-30 payload during trimmed eval")
+    p.add_argument("--profile", action="store_true", help="write a jax.profiler trace")
     args = p.parse_args(argv)
 
     data = DataConfig(
@@ -144,9 +150,13 @@ def parse(argv=None) -> ExperimentConfig:
         clip_sec=args.clip_sec,
         read_cache_feat=args.read_cache_feat or args.evaluate,
         fake_features=args.memory_leak_debug,
+        collect_diagnostics=args.collect_diagnostics,
     )
     cfg = ExperimentConfig(data=data, model=model, train=train, eval=ev, run_dir=args.run_dir)
     cfg_extra = dict(
+        ranking_weight=args.ranking_weight,
+        triplet_margin=args.triplet_margin,
+        profile=args.profile,
         evaluate=args.evaluate,
         eval_clip=args.eval_clip,
         eval_moment=args.eval_moment,
@@ -254,6 +264,7 @@ def run_evaluation(cfg, extra, run_dir: RunDir):
             robust_map=cfg.eval.robust_map,
             rank_chunk=cfg.eval.rank_chunk,
             read_cache=cfg.eval.read_cache_feat,
+            collect_diagnostics=cfg.eval.collect_diagnostics,
         ).evaluation()
     if want_clip or want_moment:
         mdb = load_moment_db(resolve_data_file(spec.moment_db_json, cfg.data.data_root))
@@ -339,8 +350,21 @@ def run_training(cfg, extra, run_dir: RunDir):
     state = create_train_state(
         model, params, state_vars, tx, jax.random.PRNGKey(cfg.train.manual_seed)
     )
+    from vqwild_tpu.core.summaries import model_summary, optimizer_summary
+
+    model_summary(params, state_vars)
+    optimizer_summary(
+        cfg.train.init_lr, cfg.train.weight_decay, cfg.train.lr_decay_rate,
+        cfg.train.accum_grad,
+    )
     sem = jnp.asarray(semantic_mem) if semantic_mem is not None else None
-    step = make_train_step(model, tx, semantic_memory=sem)
+    step = make_train_step(
+        model,
+        tx,
+        semantic_memory=sem,
+        ranking_weight=extra.get("ranking_weight", 0.0),
+        triplet_margin=extra.get("triplet_margin", 1.0),
+    )
     mesh = make_mesh() if len(jax.devices()) > 1 else None
 
     def eval_fn(st, epoch):
@@ -378,7 +402,10 @@ def run_training(cfg, extra, run_dir: RunDir):
         mesh=mesh,
         print_freq=cfg.train.print_freq,
     )
-    result = loop.run(state)
+    from vqwild_tpu.core.profiling import trace
+
+    with trace(run_dir.path, enabled=extra.get("profile", False)):
+        result = loop.run(state)
     log.warning("training done: best ap=%.4f @ epoch %d", result.best_score, result.best_epoch)
 
     # final: reload best, evaluate on testing with all regimes (main.py:606-617)

@@ -33,7 +33,19 @@ def pairwise_sq_l2(q, g, precision=jax.lax.Precision.HIGHEST):
     return jnp.maximum(q2 + g2 - 2.0 * cross, 0.0)
 
 
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
 def score_matrix(q, g):
     """Retrieval scores = −‖q−g‖² (higher is better), matching the reference's
-    ``score = −D`` with FAISS squared distances (dataloader_baseline.py:1599-1604)."""
+    ``score = −D`` with FAISS squared distances (dataloader_baseline.py:1599-1604).
+
+    On TPU the fused Pallas kernel computes the distance tile-by-tile on the
+    MXU (ops/pallas_kernels.py); elsewhere the XLA expansion is used.
+    """
+    if _use_pallas():
+        from vqwild_tpu.ops.pallas_kernels import pairwise_sq_l2_pallas
+
+        return -pairwise_sq_l2_pallas(q, g)
     return -pairwise_sq_l2(q, g)

@@ -42,6 +42,7 @@ class ARVRetrievalTrimmed:
         robust_map: bool = True,
         rank_chunk: int = 256,
         read_cache: bool = False,
+        collect_diagnostics: bool = False,
     ):
         self.extractor = extractor
         self.eval_split = eval_split
@@ -51,6 +52,7 @@ class ARVRetrievalTrimmed:
         self.robust_map = robust_map
         self.rank_chunk = rank_chunk
         self.read_cache = read_cache
+        self.collect_diagnostics = collect_diagnostics
         self.possible_classes = set(spec.possible_classes(eval_split))
         self.records: List[VideoRecord] = db.flat(eval_split)
         log.info("loaded %d %s records", len(self.records), eval_split)
@@ -104,6 +106,12 @@ class ARVRetrievalTrimmed:
         agg.set_class_info(
             [(records[qs[0]].label, records[qs[0]].retrieval_type) for qs in expanded]
         )
+        # cm_dict diagnostics payload (dataloader_baseline.py:357-368, :437-466)
+        diag = (
+            dict(gt_labels=[], label=[], top30_result_list=[], query_duration_map_dict={})
+            if self.collect_diagnostics
+            else None
+        )
 
         g_dev = jnp.asarray(gallery_feats)
         for start in range(0, len(expanded), self.rank_chunk):
@@ -132,10 +140,33 @@ class ARVRetrievalTrimmed:
                 jnp.asarray(ignore),
                 r_at_n=self.r_at_n,
                 robust=self.robust_map,
+                topk=100 if diag is not None else 0,
             )
             aps = np.asarray(out["ap"])
             recalls = np.asarray(out["recalls"])
+            top_idx = np.asarray(out["top_idx"]) if diag is not None else None
             for bi, qs in enumerate(batch):
                 q = records[qs[0]]
                 agg.add(q.label, q.retrieval_type, float(aps[bi]), recalls[bi].tolist())
-        return agg.result()
+                if diag is not None:
+                    top = top_idx[bi]
+                    diag["gt_labels"].extend([q.label] * len(top))
+                    diag["label"].extend(records[g].label for g in top)
+                    diag["top30_result_list"].append(
+                        [
+                            dict(
+                                video_id=records[g].video_id,
+                                label=records[g].label,
+                                segment=list(records[g].segment),
+                            )
+                            for g in top[:30]
+                        ]
+                    )
+                    diag["query_duration_map_dict"][q.duration_sec] = float(aps[bi])
+        result = agg.result()
+        if diag is not None:
+            diag["base_classes"] = agg.base_classes
+            diag["novel_classes"] = agg.novel_classes
+            diag["class_map_dict"] = result["class_map_dict"]
+            result["cm_dict"] = diag
+        return result

@@ -88,7 +88,13 @@ def make_train_step(
     tx: optax.GradientTransformation,
     semantic_memory: Optional[jnp.ndarray] = None,
     donate: bool = True,
+    ranking_weight: float = 0.0,
+    triplet_margin: float = 1.0,
 ) -> Callable:
+    """ranking_weight > 0 adds a triplet ranking loss over the loader's
+    (anchor, positive, negative) batch structure — the structure the reference
+    builds but never exploits (its train_ranking, main.py:263-329, is dead
+    code identical to train_va). Strictly additive capability."""
     method = model.method
     ce = optax.softmax_cross_entropy_with_integer_labels
 
@@ -131,6 +137,13 @@ def make_train_step(
                     "word_loss": word_loss,
                 }
                 total = ce_loss + reg_loss + word_loss
+            if ranking_weight > 0.0:
+                e = out.clip_embed.reshape(-1, 3, out.clip_embed.shape[-1])
+                d_ap = jnp.sum((e[:, 0] - e[:, 1]) ** 2, axis=-1)
+                d_an = jnp.sum((e[:, 0] - e[:, 2]) ** 2, axis=-1)
+                rank_loss = jnp.mean(jax.nn.relu(d_ap - d_an + triplet_margin))
+                losses["ranking_loss"] = rank_loss
+                total = total + ranking_weight * rank_loss
             losses["loss"] = total
             return total, (losses, muts)
 
