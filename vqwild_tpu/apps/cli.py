@@ -228,6 +228,11 @@ def run_evaluation(cfg, extra, run_dir: RunDir):
         make_feat_fn,
     )
 
+    import jax as _jax
+
+    from vqwild_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh() if len(_jax.devices()) > 1 else None
     spec, db, store, model, params, state_vars, semantic_mem, _ = build_stack(cfg)
     if cfg.eval.fake_features:
         feat_fn = make_fake_feat_fn(cfg.model.feat_dim)
@@ -265,6 +270,7 @@ def run_evaluation(cfg, extra, run_dir: RunDir):
             rank_chunk=cfg.eval.rank_chunk,
             read_cache=cfg.eval.read_cache_feat,
             collect_diagnostics=cfg.eval.collect_diagnostics,
+            mesh=mesh,
         ).evaluation()
     if want_clip or want_moment:
         mdb = load_moment_db(resolve_data_file(spec.moment_db_json, cfg.data.data_root))
@@ -281,6 +287,7 @@ def run_evaluation(cfg, extra, run_dir: RunDir):
                 robust_map=cfg.eval.robust_map,
                 rank_chunk=cfg.eval.rank_chunk,
                 read_cache=cfg.eval.read_cache_feat,
+                mesh=mesh,
             ).evaluation()
         if want_moment:
             results["moment"] = ARVRetrievalMoment(
@@ -299,6 +306,7 @@ def run_evaluation(cfg, extra, run_dir: RunDir):
                 rank_chunk=cfg.eval.rank_chunk,
                 read_cache=cfg.eval.read_cache_feat,
                 workers=cfg.data.workers,
+                mesh=mesh,
             ).evaluation()
     run_dir.write_metrics("evaluation", results)
     for name, r in results.items():

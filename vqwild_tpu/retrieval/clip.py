@@ -23,6 +23,7 @@ from vqwild_tpu.ops.segment_pool import enumerate_clip_windows, sliding_window_m
 from vqwild_tpu.retrieval.aggregate import MetricAggregator
 from vqwild_tpu.retrieval.features import FeatureExtractor
 from vqwild_tpu.retrieval.multiquery import generate_multi_query
+from vqwild_tpu.retrieval.sharded import GalleryScorer
 
 log = get_logger("retrieval.clip")
 
@@ -58,6 +59,7 @@ class ARVRetrievalClip:
         rank_chunk: int = 256,
         read_cache: bool = False,
         check_completeness: bool = True,
+        mesh=None,
     ):
         self.extractor = extractor
         self.clip_sec = clip_sec
@@ -70,6 +72,7 @@ class ARVRetrievalClip:
         self.rank_chunk = rank_chunk
         self.read_cache = read_cache
         self.check_completeness = check_completeness
+        self.mesh = mesh
         # clip/moment eval always uses train+test labels (:671-674)
         self.possible_classes = set(spec.possible_classes("testing"))
         self.queries: List[VideoRecord] = db.nonnoise_queries()
@@ -159,7 +162,7 @@ class ARVRetrievalClip:
         agg.set_class_info(
             [(queries[qs[0]].label, queries[qs[0]].retrieval_type) for qs in expanded]
         )
-        g_dev = jnp.asarray(gal_feats)
+        scorer = GalleryScorer(gal_feats, mesh=self.mesh)
         for start in range(0, len(expanded), self.rank_chunk):
             batch = expanded[start : start + self.rank_chunk]
             qf = np.stack(
@@ -177,7 +180,8 @@ class ARVRetrievalClip:
                     for qs in batch
                 ]
             )
-            scores = score_matrix(jnp.asarray(qf), g_dev)
+            tp, ignore = scorer.pad_columns(tp, ignore)
+            scores = scorer.scores(qf)
             out = ranked_retrieval_metrics(
                 scores,
                 jnp.asarray(tp),

@@ -39,6 +39,7 @@ from vqwild_tpu.ops.segment_pool import enumerate_moment_windows, sliding_window
 from vqwild_tpu.retrieval.aggregate import MetricAggregator
 from vqwild_tpu.retrieval.features import FeatureExtractor
 from vqwild_tpu.retrieval.multiquery import generate_multi_query
+from vqwild_tpu.retrieval.sharded import GalleryScorer
 
 log = get_logger("retrieval.moment")
 
@@ -126,6 +127,7 @@ class ARVRetrievalMoment:
         rank_chunk: int = 128,
         read_cache: bool = False,
         workers: int = 8,
+        mesh=None,
     ):
         self.extractor = extractor
         self.moment_clip_sec = moment_clip_sec
@@ -141,6 +143,7 @@ class ARVRetrievalMoment:
         self.rank_chunk = rank_chunk
         self.read_cache = read_cache
         self.workers = workers
+        self.mesh = mesh
         self.possible_classes = set(spec.possible_classes("testing"))
         self.queries: List[VideoRecord] = db.nonnoise_queries()
         self.gallery_videos: List[VideoRecord] = db.gallery
@@ -252,7 +255,7 @@ class ARVRetrievalMoment:
             [(queries[qs[0]].label, queries[qs[0]].retrieval_type) for qs in expanded]
         )
 
-        g_dev = jnp.asarray(feats)
+        scorer = GalleryScorer(feats, mesh=self.mesh)
         pool = concurrent.futures.ThreadPoolExecutor(max_workers=self.workers)
         try:
             for cstart in range(0, len(expanded), self.rank_chunk):
@@ -263,7 +266,7 @@ class ARVRetrievalMoment:
                         for qs in batch
                     ]
                 )
-                scores = np.asarray(score_matrix(jnp.asarray(qf), g_dev))
+                scores = np.asarray(scorer.scores(qf))[:, : scorer.n]
 
                 if use_native:
                     max_ig = max(len(qs) for qs in batch)

@@ -1,0 +1,59 @@
+"""Mesh-sharded gallery scoring.
+
+The gallery feature matrix shards row-wise over the mesh's ``data`` axis
+(queries replicate); the per-chunk ``[Q, G]`` score matmul then runs one
+gallery shard per device and XLA concatenates shard scores over ICI — the
+multi-chip form of the FAISS replacement (SURVEY §2.6/§7). Gallery rows are
+edge-padded to the shard multiple; padded columns are masked as ``ignore`` so
+metrics are bit-identical to the single-device path (tested on the 8-device
+CPU mesh).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vqwild_tpu.ops.distance import score_matrix
+from vqwild_tpu.parallel.mesh import pad_to_multiple
+
+
+class GalleryScorer:
+    """Holds the (optionally sharded) gallery on device; scores query chunks."""
+
+    def __init__(self, gallery_feats: np.ndarray, mesh: Optional[Mesh] = None,
+                 axis: str = "data"):
+        self.n = gallery_feats.shape[0]
+        self.mesh = mesh
+        if mesh is not None:
+            n_shards = mesh.shape[axis]
+            padded, _ = pad_to_multiple(np.asarray(gallery_feats), n_shards)
+            self.n_padded = padded.shape[0]
+            self.g_dev = jax.device_put(padded, NamedSharding(mesh, P(axis)))
+            self._q_sharding = NamedSharding(mesh, P())  # queries replicate
+        else:
+            self.n_padded = self.n
+            self.g_dev = jnp.asarray(gallery_feats)
+            self._q_sharding = None
+
+    def pad_columns(self, tp: np.ndarray, ignore: np.ndarray):
+        """Extend per-query tp/ignore to padded gallery width (pads ignored)."""
+        extra = self.n_padded - self.n
+        if extra == 0:
+            return tp, ignore
+        tp = np.concatenate([tp, np.zeros((tp.shape[0], extra), bool)], axis=1)
+        ignore = np.concatenate(
+            [ignore, np.ones((ignore.shape[0], extra), bool)], axis=1
+        )
+        return tp, ignore
+
+    def scores(self, qfeats: np.ndarray):
+        """[B, D] queries → [B, n_padded] scores (device array)."""
+        q = jnp.asarray(qfeats)
+        if self._q_sharding is not None:
+            q = jax.device_put(q, self._q_sharding)
+        return score_matrix(q, self.g_dev)

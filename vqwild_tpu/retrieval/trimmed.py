@@ -25,6 +25,7 @@ from vqwild_tpu.ops.ranking import ranked_retrieval_metrics
 from vqwild_tpu.retrieval.aggregate import MetricAggregator
 from vqwild_tpu.retrieval.features import FeatureExtractor
 from vqwild_tpu.retrieval.multiquery import generate_multi_query
+from vqwild_tpu.retrieval.sharded import GalleryScorer
 
 log = get_logger("retrieval.trimmed")
 
@@ -43,6 +44,7 @@ class ARVRetrievalTrimmed:
         rank_chunk: int = 256,
         read_cache: bool = False,
         collect_diagnostics: bool = False,
+        mesh=None,
     ):
         self.extractor = extractor
         self.eval_split = eval_split
@@ -53,6 +55,7 @@ class ARVRetrievalTrimmed:
         self.rank_chunk = rank_chunk
         self.read_cache = read_cache
         self.collect_diagnostics = collect_diagnostics
+        self.mesh = mesh
         self.possible_classes = set(spec.possible_classes(eval_split))
         self.records: List[VideoRecord] = db.flat(eval_split)
         log.info("loaded %d %s records", len(self.records), eval_split)
@@ -113,7 +116,7 @@ class ARVRetrievalTrimmed:
             else None
         )
 
-        g_dev = jnp.asarray(gallery_feats)
+        scorer = GalleryScorer(gallery_feats, mesh=self.mesh)
         for start in range(0, len(expanded), self.rank_chunk):
             batch = expanded[start : start + self.rank_chunk]
             qfeats = np.stack(
@@ -133,7 +136,8 @@ class ARVRetrievalTrimmed:
                     for gi in vid2idx.get(records[qi].video_id, ()):
                         ignore[bi, gi] = True
 
-            scores = score_matrix(jnp.asarray(qfeats), g_dev)
+            tp, ignore = scorer.pad_columns(tp, ignore)
+            scores = scorer.scores(qfeats)
             out = ranked_retrieval_metrics(
                 scores,
                 jnp.asarray(tp),
@@ -149,7 +153,8 @@ class ARVRetrievalTrimmed:
                 q = records[qs[0]]
                 agg.add(q.label, q.retrieval_type, float(aps[bi]), recalls[bi].tolist())
                 if diag is not None:
-                    top = top_idx[bi]
+                    # drop ignored (and shard-padding) entries from the top list
+                    top = [g for g in top_idx[bi] if not ignore[bi, g]]
                     diag["gt_labels"].extend([q.label] * len(top))
                     diag["label"].extend(records[g].label for g in top)
                     diag["top30_result_list"].append(

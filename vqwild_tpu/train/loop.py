@@ -69,17 +69,32 @@ class TrainLoop:
             data_time = AverageMeter()
             loss_meters: Dict[str, AverageMeter] = {}
             nsteps = 0
-            for i, batch in enumerate(self.loader.epoch(epoch)):
+
+            # one-batch lookahead: ship batch k+1 to device while step k runs
+            # (jax dispatch is async, so _put overlaps the device compute)
+            def batches():
+                it = iter(self.loader.epoch(epoch))
+                nxt = next(it, None)
+                while nxt is not None:
+                    cur = self._put(nxt)
+                    nxt = next(it, None)
+                    yield cur
+
+            pending = []  # device-scalar losses; synced only at print time so
+            # per-step readback never serializes the async dispatch queue
+            for i, (clips, labels) in enumerate(batches()):
                 if self.max_steps is not None and i >= self.max_steps:
                     break
                 data_time.update(timer.tick())
-                clips, labels = self._put(batch)
                 state, losses = self.step_fn(state, clips, labels)
                 nsteps += 1
-                for k, v in losses.items():
-                    loss_meters.setdefault(k, AverageMeter()).update(float(v))
+                pending.append(losses)
                 timer.tick()
                 if i % self.print_freq == 0 and i > 0:
+                    for entry in pending:
+                        for k, v in entry.items():
+                            loss_meters.setdefault(k, AverageMeter()).update(float(v))
+                    pending.clear()
                     log.info(
                         "[%d][%d] %s dataload=%.3fs best=%.3f",
                         epoch,
@@ -90,6 +105,10 @@ class TrainLoop:
                         data_time.avg,
                         best_score,
                     )
+            for entry in pending:
+                for k, v in entry.items():
+                    loss_meters.setdefault(k, AverageMeter()).update(float(v))
+            pending.clear()
             log.info(
                 "epoch %d done: %d steps, %s",
                 epoch,
