@@ -1,0 +1,84 @@
+import os
+
+import pytest
+
+from vqwild_tpu.apps import cli
+
+
+class TestParse:
+    def test_defaults_mirror_reference(self):
+        cfg, extra = cli.parse([])
+        assert cfg.model.method == "baseline"
+        assert cfg.data.meta_split == "100_20_80"
+        assert cfg.data.input_size == 112
+        assert cfg.data.train_frame == 32
+        assert cfg.data.batch_size == 10
+        assert cfg.data.test_batch_size == 30
+        assert cfg.train.epochs == 16
+        assert cfg.train.init_lr == 1e-4
+        assert cfg.train.lr_decay_rate == 9
+        assert cfg.train.weight_decay == 1e-5
+        assert cfg.train.eval_per_epoch == 2
+        assert cfg.model.dropout == 0.5
+        assert cfg.model.moving_average == 0.9
+        assert cfg.eval.query_num == 1
+        assert cfg.eval.clip_sec == 6
+        assert not extra["evaluate"]
+
+    def test_moving_average_is_float(self):
+        # upstream bug: type=int truncates CLI overrides (main.py:158)
+        cfg, _ = cli.parse(["--moving_average", "0.75"])
+        assert cfg.model.moving_average == 0.75
+
+    def test_debug_caps_epochs(self):
+        cfg, _ = cli.parse(["--debug"])
+        assert cfg.train.epochs == 2 and cfg.train.debug
+
+    def test_evaluate_forces_cache(self):
+        cfg, _ = cli.parse(["--evaluate"])
+        assert cfg.eval.read_cache_feat
+
+    def test_semantic_dim_inference(self):
+        cfg, _ = cli.parse(["--semantic_json", "wordembed_fasttext_d300.json"])
+        assert cfg.model.semantic_dim == 300
+
+    def test_all_meta_splits_accepted(self):
+        for split in ["100_20_80", "120_20_60", "80_20_100", "40_20_140"]:
+            cfg, _ = cli.parse(["--meta_split", split])
+            assert cfg.data.meta_split == split
+
+    def test_run_name_convention(self):
+        cfg, _ = cli.parse(["--method", "vasa", "--novel_num", "3"])
+        assert cfg.run_name() == "main_vasa_novel3_mv0.9"
+
+
+class TestResolveDataFile:
+    def test_finds_in_data_root(self, tmp_path):
+        p = tmp_path / "arv_db_x.json"
+        p.write_text("{}")
+        assert cli.resolve_data_file("arv_db_x.json", str(tmp_path)) == str(p)
+
+    def test_finds_in_subdir(self, tmp_path):
+        sub = tmp_path / "data_generate"
+        sub.mkdir()
+        p = sub / "arv_db_y.json"
+        p.write_text("{}")
+        assert cli.resolve_data_file("arv_db_y.json", str(tmp_path)) == str(p)
+
+    def test_absolute_path_passthrough(self, tmp_path):
+        p = tmp_path / "z.json"
+        p.write_text("{}")
+        assert cli.resolve_data_file(str(p), "/nonexistent") == str(p)
+
+    def test_missing_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            cli.resolve_data_file("arv_db_never_exists_xyz.json", str(tmp_path))
+
+
+class TestConfigRoundtrip:
+    def test_json_roundtrip(self):
+        from vqwild_tpu.core.config import ExperimentConfig
+
+        cfg, _ = cli.parse(["--method", "va", "--batch_size", "4"])
+        restored = ExperimentConfig.from_json(cfg.to_json())
+        assert restored == cfg
