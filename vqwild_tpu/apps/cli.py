@@ -110,6 +110,8 @@ def parse(argv=None) -> ExperimentConfig:
     p.add_argument("--collect_diagnostics", action="store_true",
                    help="collect the cm_dict confusion/top-30 payload during trimmed eval")
     p.add_argument("--profile", action="store_true", help="write a jax.profiler trace")
+    p.add_argument("--resume", action="store_true",
+                   help="resume training from the run dir's 'last' checkpoint")
     args = p.parse_args(argv)
 
     data = DataConfig(
@@ -157,6 +159,7 @@ def parse(argv=None) -> ExperimentConfig:
         ranking_weight=args.ranking_weight,
         triplet_margin=args.triplet_margin,
         profile=args.profile,
+        resume=args.resume,
         evaluate=args.evaluate,
         eval_clip=args.eval_clip,
         eval_moment=args.eval_moment,
@@ -380,7 +383,7 @@ def run_training(cfg, extra, run_dir: RunDir):
         if st.memory:
             variables["memory"] = st.memory
         extractor = FeatureExtractor(
-            make_feat_fn(model, variables),
+            make_feat_fn(model, variables, mesh=mesh),
             store,
             test_frames=cfg.data.test_frame,
             test_batch_size=cfg.data.test_batch_size,
@@ -400,6 +403,28 @@ def run_training(cfg, extra, run_dir: RunDir):
         ).evaluation()
 
     ckpt = CheckpointManager(run_dir.checkpoint_dir())
+    start_epoch = 0
+    if extra.get("resume") and ckpt.exists("last"):
+        template = dict(
+            params=state.params,
+            batch_stats=state.batch_stats,
+            memory=state.memory,
+            opt_state=state.opt_state,
+            step=state.step,
+            dropout_rng=state.dropout_rng,
+            epoch=0,
+        )
+        payload = ckpt.restore("last", template)
+        state = state.replace(
+            params=payload["params"],
+            batch_stats=payload["batch_stats"],
+            memory=payload["memory"],
+            opt_state=payload["opt_state"],
+            step=payload["step"],
+            dropout_rng=payload["dropout_rng"],
+        )
+        start_epoch = int(payload["epoch"]) + 1
+        log.warning("resuming from epoch %d", start_epoch)
     loop = TrainLoop(
         step,
         loader,
@@ -409,6 +434,7 @@ def run_training(cfg, extra, run_dir: RunDir):
         ckpt=ckpt,
         mesh=mesh,
         print_freq=cfg.train.print_freq,
+        start_epoch=start_epoch,
     )
     from vqwild_tpu.core.profiling import trace
 

@@ -30,10 +30,14 @@ from vqwild_tpu.ops.preprocess import normalize_clips
 log = get_logger("retrieval.features")
 
 
-def make_feat_fn(model, variables) -> Callable:
+def make_feat_fn(model, variables, mesh=None) -> Callable:
     """Returns f(clips [B,T,s,s,C] uint8-cropped or float) → np [B, C, T],
     frame embeddings L2-normalized across channels (main.py:232). uint8 input
-    gets ImageNet-normalized on device inside the jit."""
+    gets ImageNet-normalized on device inside the jit.
+
+    With a mesh, extraction batches shard over the ``data`` axis (rows are
+    edge-padded to the shard multiple and cropped after) — the multi-chip
+    feature-extraction path."""
 
     @jax.jit
     def _fwd(x):
@@ -44,10 +48,25 @@ def make_feat_fn(model, variables) -> Callable:
         fe = fe / jnp.maximum(jnp.linalg.norm(fe, axis=-1, keepdims=True), 1e-12)
         return jnp.transpose(fe, (0, 2, 1))  # [B, C, T]
 
-    def feat_fn(clips):
-        return np.asarray(_fwd(jnp.asarray(clips)))
+    if mesh is None:
+        def feat_fn(clips):
+            return np.asarray(_fwd(jnp.asarray(clips)))
 
-    return feat_fn
+        return feat_fn
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vqwild_tpu.parallel.mesh import pad_to_multiple
+
+    n_shards = mesh.shape["data"]
+    sharding = NamedSharding(mesh, P("data"))
+
+    def feat_fn_sharded(clips):
+        padded, n = pad_to_multiple(np.asarray(clips), n_shards)
+        out = _fwd(jax.device_put(padded, sharding))
+        return np.asarray(out)[:n]
+
+    return feat_fn_sharded
 
 
 def make_fake_feat_fn(feat_dim: int = 512, seed: Optional[int] = None) -> Callable:

@@ -33,7 +33,6 @@ from vqwild_tpu.core.logging import get_logger
 from vqwild_tpu.data.labels import SplitSpec
 from vqwild_tpu.data.schema import MomentDB, VideoRecord
 from vqwild_tpu.ops import metrics_np
-from vqwild_tpu.ops.distance import score_matrix
 from vqwild_tpu.ops.nms import temporal_nms
 from vqwild_tpu.ops.segment_pool import enumerate_moment_windows, sliding_window_mean
 from vqwild_tpu.retrieval.aggregate import MetricAggregator

@@ -20,7 +20,6 @@ import numpy as np
 from vqwild_tpu.core.logging import get_logger
 from vqwild_tpu.data.labels import SplitSpec
 from vqwild_tpu.data.schema import TrimmedDB, VideoRecord
-from vqwild_tpu.ops.distance import score_matrix
 from vqwild_tpu.ops.ranking import ranked_retrieval_metrics
 from vqwild_tpu.retrieval.aggregate import MetricAggregator
 from vqwild_tpu.retrieval.features import FeatureExtractor

@@ -44,6 +44,7 @@ class TrainLoop:
         mesh=None,
         print_freq: int = 100,
         max_steps_per_epoch: Optional[int] = None,
+        start_epoch: int = 0,
     ):
         self.step_fn = step_fn
         self.loader = loader
@@ -54,6 +55,7 @@ class TrainLoop:
         self.mesh = mesh
         self.print_freq = print_freq
         self.max_steps = max_steps_per_epoch
+        self.start_epoch = start_epoch
 
     def _put(self, batch):
         arrays = (batch.clips, batch.labels)
@@ -64,7 +66,7 @@ class TrainLoop:
     def run(self, state: TrainState) -> LoopResult:
         best_score, best_epoch = -1.0, -1
         history = []
-        for epoch in range(self.epochs):
+        for epoch in range(self.start_epoch, self.epochs):
             timer = Timer()
             data_time = AverageMeter()
             loss_meters: Dict[str, AverageMeter] = {}
@@ -117,12 +119,17 @@ class TrainLoop:
             )
 
             if self.ckpt is not None:
+                # full training state -> mid-training resume (reference has
+                # none, SURVEY §5 - save-best-only upstream)
                 self.ckpt.save(
                     "last",
                     dict(
                         params=state.params,
                         batch_stats=state.batch_stats,
                         memory=state.memory,
+                        opt_state=state.opt_state,
+                        step=state.step,
+                        dropout_rng=state.dropout_rng,
                         epoch=epoch,
                     ),
                 )
