@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Production-scale evaluation benchmark (fake features, real ARV DBs).
+
+Exercises the full evaluation stack at the real dataset scale — the
+reference's known scaling pain points (SURVEY §7: exact-L2 full ranking over
+~10^5-10^6 moment windows with per-query NMS) — without needing frames or a
+trained model. Frame counts come from the real video durations, so gallery
+tapes, clip windows, and moment enumeration hit production sizes.
+
+Usage:  python benchmarks/eval_scale.py [--moment_queries 100] [--platform cpu]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--meta_split", default="100_20_80")
+    p.add_argument("--data_root", default="data")
+    p.add_argument("--moment_queries", type=int, default=100,
+                   help="subsample of moment queries (full QxG scoring is matmul-bound)")
+    p.add_argument("--platform", default="")
+    p.add_argument("--skip_moment", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import numpy as np
+
+    from vqwild_tpu.apps.cli import resolve_data_file
+    from vqwild_tpu.data.frames import SyntheticFrameStore
+    from vqwild_tpu.data.labels import get_split
+    from vqwild_tpu.data.schema import load_moment_db, load_trimmed_db
+    from vqwild_tpu.retrieval import (
+        ARVRetrievalClip,
+        ARVRetrievalMoment,
+        ARVRetrievalTrimmed,
+    )
+    from vqwild_tpu.retrieval.features import FeatureExtractor, make_fake_feat_fn
+
+    class DurationFrameStore(SyntheticFrameStore):
+        """Synthetic frames with real per-video frame counts (duration × fps)."""
+
+        def __init__(self, durations):
+            super().__init__()
+            self.durations = durations
+
+        def num_frames(self, subset, video_id):
+            return max(1, int(self.durations.get(video_id, 21.0) * 3))
+
+    spec = get_split(args.meta_split)
+    db = load_trimmed_db(resolve_data_file(spec.db_json, args.data_root))
+    mdb = load_moment_db(resolve_data_file(spec.moment_db_json, args.data_root))
+    durations = {}
+    for split in db.splits.values():
+        for recs in split.values():
+            for r in recs:
+                durations[r.video_id] = r.activitynet_duration
+    for r in list(mdb.query) + list(mdb.gallery):
+        durations[r.video_id] = r.activitynet_duration
+
+    def extractor():
+        return FeatureExtractor(
+            make_fake_feat_fn(512, seed=0),
+            DurationFrameStore(durations),
+            test_frames=32,
+            test_batch_size=30,
+            input_size=112,
+            fake=True,
+        )
+
+    print(f"devices: {jax.devices()}", flush=True)
+
+    t0 = time.time()
+    r = ARVRetrievalTrimmed(db, spec, extractor(), eval_split="testing").evaluation()
+    print(f"TRIMMED  full-scale: {time.time()-t0:.1f}s  ap={r['ap']:.4f}", flush=True)
+
+    t0 = time.time()
+    rc = ARVRetrievalClip(mdb, spec, extractor(), check_completeness=False).evaluation()
+    print(f"CLIP     full-scale: {time.time()-t0:.1f}s  ap={rc['ap']:.4f}", flush=True)
+
+    if not args.skip_moment:
+        t0 = time.time()
+        ev = ARVRetrievalMoment(mdb, spec, extractor(), workers=os.cpu_count() or 8)
+        if args.moment_queries:
+            ev.queries = ev.queries[: args.moment_queries]
+        rm = ev.evaluation()
+        print(
+            f"MOMENT   {len(ev.queries)} queries: {time.time()-t0:.1f}s  "
+            f"ap={rm['map05']['ap']:.4f}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

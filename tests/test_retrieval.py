@@ -210,3 +210,39 @@ class TestMomentEval:
         result = ev.evaluation()
         assert "map05" in result
         assert 0.0 <= result["map05"]["ap"] <= 1.0
+
+
+class TestClosestHitsVectorized:
+    @pytest.mark.parametrize("seed", range(4))
+    def test_matches_loop(self, seed):
+        from vqwild_tpu.data.schema import Annotation
+        from vqwild_tpu.retrieval.moment import closest_hit, closest_hits_vectorized
+
+        rng = np.random.default_rng(seed)
+        anns = [
+            Annotation(
+                segment=(float(s), float(s + rng.uniform(2, 30))),
+                label=f"c{int(rng.integers(4))}",
+            )
+            for s in rng.uniform(0, 100, 6)
+        ]
+        allowed = {"c0", "c1", "c2"}  # c3 filtered out
+        starts = rng.uniform(0, 100, 40)
+        locs = np.stack([starts, starts + rng.uniform(5, 50, 40)], axis=1)
+        labels_v, ious_v = closest_hits_vectorized(anns, locs, allowed)
+        for k in range(len(locs)):
+            hit = closest_hit(anns, locs[k], allowed)
+            if hit is None:
+                assert labels_v[k] == ""
+                assert ious_v[k] == 0.0
+            else:
+                assert labels_v[k] == hit[0], k
+                assert abs(ious_v[k] - hit[1]) < 1e-12
+
+    def test_no_allowed_annotations(self):
+        from vqwild_tpu.retrieval.moment import closest_hits_vectorized
+
+        locs = np.array([[0.0, 5.0], [5.0, 10.0]])
+        labels, ious = closest_hits_vectorized([], locs, {"x"})
+        assert list(labels) == ["", ""]
+        assert (ious == 0).all()

@@ -37,6 +37,62 @@ def sliding_window_mean(tape, starts, ends):
     return window_mean_from_cumsum(cum, starts, ends)
 
 
+def window_mean_np(tape: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Host variant for gallery building: per-video tapes come in thousands of
+    distinct (T, W) shapes, which would retrace the jitted version per shape.
+    One cumsum pass + two gathers is trivially cheap on host."""
+    cum = np.concatenate(
+        [np.zeros((1, tape.shape[1]), np.float64), np.cumsum(tape, axis=0, dtype=np.float64)],
+        axis=0,
+    )
+    total = cum[ends] - cum[starts]
+    return (total / np.maximum(ends - starts, 1)[:, None]).astype(tape.dtype)
+
+
+class HostWindowPooler:
+    """Allocation-free window means over [C, T] tapes.
+
+    Page faults on fresh allocations are pathologically expensive in some
+    containers (measured ~0.1-2 ms per 4 KB page here), so the cumsum scratch
+    and gather buffers are grown once and reused; results are written into a
+    caller-provided output block. Used by the gallery builders which loop over
+    thousands of per-video tapes.
+    """
+
+    def __init__(self):
+        self._cum = np.empty((0, 0), np.float64)
+        self._gather = np.empty((0, 0), np.float64)
+
+    def _ensure(self, c: int, t: int, w: int):
+        from vqwild_tpu.ops.hostmem import alloc_array
+
+        if self._cum.shape[0] < c or self._cum.shape[1] < t + 1:
+            self._cum = alloc_array(
+                (c, max(t + 1, 2 * self._cum.shape[1] + 1)), np.float64
+            )
+        if self._gather.shape[0] < 2 * c or self._gather.shape[1] < w:
+            self._gather = alloc_array(
+                (2 * c, max(w, 2 * self._gather.shape[1] + 1)), np.float64
+            )
+
+    def __call__(self, tape_ct: np.ndarray, starts, ends, out: np.ndarray):
+        """tape_ct [C, T]; writes means into out [W, C] (a view is fine)."""
+        c, t = tape_ct.shape
+        w = len(starts)
+        self._ensure(c, t, w)
+        cum = self._cum[:c, : t + 1]
+        cum[:, 0] = 0.0
+        np.cumsum(tape_ct, axis=1, out=cum[:, 1:])
+        hi = self._gather[:c, :w]
+        lo = self._gather[c : 2 * c, :w]
+        np.take(cum, np.asarray(ends, np.int64), axis=1, out=hi)
+        np.take(cum, np.asarray(starts, np.int64), axis=1, out=lo)
+        hi -= lo
+        hi /= np.maximum(np.asarray(ends) - np.asarray(starts), 1)[None, :]
+        out[:, :] = hi.T
+        return out
+
+
 def enumerate_clip_windows(
     duration_sec: float,
     feat_len: int,

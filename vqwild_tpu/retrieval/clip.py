@@ -17,8 +17,9 @@ import numpy as np
 from vqwild_tpu.core.logging import get_logger
 from vqwild_tpu.data.labels import SplitSpec
 from vqwild_tpu.data.schema import MomentDB, VideoRecord
+from vqwild_tpu.ops.hostmem import alloc_array
 from vqwild_tpu.ops.ranking import ranked_retrieval_metrics
-from vqwild_tpu.ops.segment_pool import enumerate_clip_windows, sliding_window_mean
+from vqwild_tpu.ops.segment_pool import HostWindowPooler, enumerate_clip_windows
 from vqwild_tpu.retrieval.aggregate import MetricAggregator
 from vqwild_tpu.retrieval.features import FeatureExtractor
 from vqwild_tpu.retrieval.multiquery import generate_multi_query
@@ -88,32 +89,39 @@ class ARVRetrievalClip:
         if cache is not None:
             return cache["feats"], cache["labels"], cache["video_idx"]
         tapes = self.extractor.extract_video_tapes(self.gallery_videos)
-        feats, labels, vidx = [], [], []
-        for vi, (video, tape) in enumerate(zip(self.gallery_videos, tapes)):
-            feat_len = tape.shape[1]
+        # preallocated arenas + reusable pooler scratch (page faults on fresh
+        # allocations are pathologically costly here; see HostWindowPooler)
+        windows = []
+        total = 0
+        for video, tape in zip(self.gallery_videos, tapes):
             starts, ends, locs = enumerate_clip_windows(
                 video.activitynet_duration,
-                feat_len,
+                tape.shape[1],
                 self.clip_sec,
                 self.fps,
                 self.temporal_stride,
             )
-            if len(starts) == 0:
+            windows.append((starts, ends, locs))
+            total += len(starts)
+        feat_dim = next((t.shape[0] for t in tapes if t.size), 0)
+        feats = alloc_array((total, feat_dim), np.float32)
+        vidx = np.empty(total, np.int64)
+        labels_arr = np.empty(total, object)
+        pooler = HostWindowPooler()
+        off = 0
+        for vi, (video, tape) in enumerate(zip(self.gallery_videos, tapes)):
+            starts, ends, locs = windows[vi]
+            w = len(starts)
+            if w == 0:
                 continue
-            wmeans = np.asarray(
-                sliding_window_mean(
-                    jnp.asarray(tape.T), jnp.asarray(starts), jnp.asarray(ends)
+            pooler(tape, starts, ends, out=feats[off : off + w])
+            vidx[off : off + w] = vi
+            for k in range(w):
+                labels_arr[off + k] = window_label(
+                    video.annotations, locs[k], self.possible_classes
                 )
-            )  # [W, C]
-            for k in range(len(starts)):
-                feats.append(wmeans[k])
-                labels.append(
-                    window_label(video.annotations, locs[k], self.possible_classes)
-                )
-                vidx.append(vi)
-        feats = np.stack(feats)
-        labels = np.array(labels)
-        vidx = np.array(vidx, np.int64)
+            off += w
+        labels = labels_arr.astype(str)
         self.extractor.save_cache(
             "clip_gallery.npz", feats=feats, labels=labels, video_idx=vidx
         )

@@ -23,8 +23,9 @@ import numpy as np
 from vqwild_tpu.core.logging import get_logger
 from vqwild_tpu.data.clips import batch_cropped_clips, read_clip_raw
 from vqwild_tpu.data.frames import FrameStore
-from vqwild_tpu.data.longvideo import concat_video_tapes, enumerate_chunks, read_chunk_batch
+from vqwild_tpu.data.longvideo import enumerate_chunks, read_chunk_batch
 from vqwild_tpu.data.schema import VideoRecord
+from vqwild_tpu.ops.hostmem import alloc_array
 from vqwild_tpu.ops.preprocess import normalize_clips
 
 log = get_logger("retrieval.features")
@@ -147,11 +148,22 @@ class FeatureExtractor:
     def extract_video_tapes(self, gallery: Sequence[VideoRecord]) -> List[np.ndarray]:
         """Per-video feature tapes [C, T_total] from contiguous chunks
         (dataloader_baseline.py:742-784). Videos left without chunks under a
-        debug cap get empty tapes (callers skip zero-length tapes)."""
+        debug cap get empty tapes (callers skip zero-length tapes).
+
+        Tapes are preallocated and chunk features written in place — at
+        production scale (~60k chunks → several GB of tape) a gather-then-
+        regroup materializes the whole feature block twice and dominates the
+        gallery build."""
         refs = enumerate_chunks(gallery, self.store, self.test_frames)
         if self.max_batches is not None:
             refs = refs[: self.max_batches * self.test_batch_size]
-        all_feats: List[np.ndarray] = []
+        n_chunks = np.zeros(len(gallery), np.int64)
+        for r in refs:
+            n_chunks[r.video_idx] += 1
+        t = self.test_frames
+        offsets = np.concatenate([[0], np.cumsum(n_chunks)]) * t
+        arena: Optional[np.ndarray] = None  # one [C, ΣT] block, pre-touched
+        tapes: List[np.ndarray] = []
         for ref_batch in _chunks(refs, self.test_batch_size):
             if self.fake:
                 f = self.feat_fn(
@@ -168,8 +180,19 @@ class FeatureExtractor:
                         self.fps,
                     )
                 )
-            all_feats.extend(f)
-        return concat_video_tapes(np.asarray(all_feats), refs, len(gallery))
+            if arena is None:
+                feat_dim = f.shape[1]
+                arena = alloc_array((feat_dim, int(offsets[-1])), np.float32)
+                tapes = [
+                    arena[:, offsets[vi] : offsets[vi + 1]]
+                    for vi in range(len(gallery))
+                ]
+            for feat, ref in zip(f, ref_batch):
+                base = ref.seg_id * t
+                tapes[ref.video_idx][:, base : base + t] = feat
+        if arena is None:  # no refs at all
+            tapes = [np.empty((0, 0), np.float32) for _ in gallery]
+        return tapes
 
     # -- cache --
     def cache_path(self, name: str) -> Optional[str]:

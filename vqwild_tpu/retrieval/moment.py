@@ -33,8 +33,9 @@ from vqwild_tpu.core.logging import get_logger
 from vqwild_tpu.data.labels import SplitSpec
 from vqwild_tpu.data.schema import MomentDB, VideoRecord
 from vqwild_tpu.ops import metrics_np
+from vqwild_tpu.ops.hostmem import alloc_array
 from vqwild_tpu.ops.nms import temporal_nms
-from vqwild_tpu.ops.segment_pool import enumerate_moment_windows, sliding_window_mean
+from vqwild_tpu.ops.segment_pool import HostWindowPooler, enumerate_moment_windows
 from vqwild_tpu.retrieval.aggregate import MetricAggregator
 from vqwild_tpu.retrieval.features import FeatureExtractor
 from vqwild_tpu.retrieval.multiquery import generate_multi_query
@@ -62,6 +63,26 @@ def closest_hit(annotations, loc_sec, possible_classes):
             best = (ann.label, iou)
             best_iou = iou
     return best
+
+
+def closest_hits_vectorized(annotations, locs, possible_classes):
+    """Batched closest_hit for all W windows of one video → (labels [W] str,
+    ious [W]). Ties resolve to the earlier annotation, like the python loop
+    (strict > comparison ≡ argmax-first-max)."""
+    allowed = [a for a in annotations or () if a.label in possible_classes]
+    w = len(locs)
+    if not allowed:
+        return np.array([""] * w, dtype=object), np.zeros(w)
+    a0 = np.array([a.segment[0] for a in allowed])  # [A]
+    a1 = np.array([a.segment[1] for a in allowed])
+    w0 = locs[:, 0:1]  # [W,1]
+    w1 = locs[:, 1:2]
+    inter = np.maximum(0.0, np.minimum(a1[None], w1) - np.maximum(a0[None], w0))
+    union = np.maximum(a1[None], w1) - np.minimum(a0[None], w0)
+    iou = inter / union  # [W, A]
+    best = np.argmax(iou, axis=1)
+    labels = np.array([allowed[k].label for k in best], dtype=object)
+    return labels, iou[np.arange(w), best]
 
 
 def moment_query_metrics(
@@ -163,9 +184,12 @@ class ARVRetrievalMoment:
                 cache["hit_iou"],
             )
         tapes = self.extractor.extract_video_tapes(self.gallery_videos)
-        feats, vidx, s_sec, e_sec, h_label, h_iou = [], [], [], [], [], []
-        moments_per_video = []
-        for vi, (video, tape) in enumerate(zip(self.gallery_videos, tapes)):
+        # Two passes with preallocated arenas: at production scale there are
+        # ~10^6 moments, and per-block allocations pay this container's
+        # pathological page-fault cost (see ops.segment_pool.HostWindowPooler).
+        windows = []
+        total = 0
+        for video, tape in zip(self.gallery_videos, tapes):
             starts, ends, locs = enumerate_moment_windows(
                 video.activitynet_duration,
                 tape.shape[1],
@@ -174,35 +198,38 @@ class ARVRetrievalMoment:
                 self.fps,
                 self.temporal_stride,
             )
-            moments_per_video.append(len(starts))
-            if len(starts) == 0:
+            windows.append((starts, ends, locs))
+            total += len(starts)
+        feat_dim = next((t.shape[0] for t in tapes if t.size), 0)
+        feats = alloc_array((total, feat_dim), np.float32)
+        vidx = np.empty(total, np.int64)
+        s_sec = np.empty(total, np.float64)
+        e_sec = np.empty(total, np.float64)
+        h_iou = np.empty(total, np.float64)
+        h_label = np.empty(total, object)
+        pooler = HostWindowPooler()
+        off = 0
+        for vi, (video, tape) in enumerate(zip(self.gallery_videos, tapes)):
+            starts, ends, locs = windows[vi]
+            w = len(starts)
+            if w == 0:
                 continue
-            wmeans = np.asarray(
-                sliding_window_mean(
-                    jnp.asarray(tape.T), jnp.asarray(starts), jnp.asarray(ends)
-                )
+            pooler(tape, starts, ends, out=feats[off : off + w])
+            vidx[off : off + w] = vi
+            s_sec[off : off + w] = locs[:, 0]
+            e_sec[off : off + w] = locs[:, 1]
+            labels_v, ious_v = closest_hits_vectorized(
+                video.annotations, locs, self.possible_classes
             )
-            for k in range(len(starts)):
-                hit = closest_hit(video.annotations, locs[k], self.possible_classes)
-                feats.append(wmeans[k])
-                vidx.append(vi)
-                s_sec.append(locs[k][0])
-                e_sec.append(locs[k][1])
-                h_label.append(hit[0] if hit else "")
-                h_iou.append(hit[1] if hit else 0.0)
+            h_label[off : off + w] = labels_v
+            h_iou[off : off + w] = ious_v
+            off += w
         log.info(
             "moment gallery: %d moments (%.1f / video)",
-            len(feats),
-            float(np.mean(moments_per_video)) if moments_per_video else 0.0,
+            total,
+            total / max(len(self.gallery_videos), 1),
         )
-        out = (
-            np.stack(feats),
-            np.array(vidx, np.int64),
-            np.array(s_sec, np.float64),
-            np.array(e_sec, np.float64),
-            np.array(h_label),
-            np.array(h_iou, np.float64),
-        )
+        out = (feats, vidx, s_sec, e_sec, h_label.astype(str), h_iou)
         self.extractor.save_cache(
             "moment_gallery.npz",
             feats=out[0],
