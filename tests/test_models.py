@@ -230,3 +230,70 @@ class TestTorchParity:
         np.testing.assert_allclose(
             np.asarray(out.rank_embed), ref_out, atol=2e-4, rtol=1e-3
         )
+
+
+class TestInflation2D:
+    def test_inflate_from_2d_state_dict(self):
+        """load_2d equivalence: a 2D resnet18 state_dict inflates into the
+        trunk (temporal size 1 → identity copy), fc left at init."""
+        import torch
+        import torch.nn as tnn
+
+        from vqwild_tpu.models import torch_import
+        from vqwild_tpu.models.arv import ARVModel, init_model
+
+        # build a shape-faithful 2D resnet18 state dict (torchvision naming,
+        # torchvision itself is not installed here)
+        import numpy as _np
+
+        rng = _np.random.default_rng(0)
+
+        def t(*shape):
+            return torch.tensor(rng.normal(size=shape).astype(_np.float32))
+
+        sd = {"conv1.weight": t(64, 3, 7, 7)}
+        for bn in ["bn1"]:
+            sd |= {f"{bn}.weight": t(64), f"{bn}.bias": t(64),
+                   f"{bn}.running_mean": t(64), f"{bn}.running_var": abs(t(64)) + 0.5}
+        inplanes = 64
+        for li, planes in enumerate([64, 128, 256, 512], start=1):
+            for bi in range(2):
+                stride_block = li > 1 and bi == 0
+                pre = f"layer{li}.{bi}"
+                sd[f"{pre}.conv1.weight"] = t(planes, inplanes if bi == 0 else planes, 3, 3)
+                sd[f"{pre}.conv2.weight"] = t(planes, planes, 3, 3)
+                for bn in ["bn1", "bn2"]:
+                    sd |= {f"{pre}.{bn}.weight": t(planes), f"{pre}.{bn}.bias": t(planes),
+                           f"{pre}.{bn}.running_mean": t(planes),
+                           f"{pre}.{bn}.running_var": abs(t(planes)) + 0.5}
+                if stride_block:
+                    sd[f"{pre}.downsample.0.weight"] = t(planes, inplanes, 1, 1)
+                    sd |= {f"{pre}.downsample.1.weight": t(planes),
+                           f"{pre}.downsample.1.bias": t(planes),
+                           f"{pre}.downsample.1.running_mean": t(planes),
+                           f"{pre}.downsample.1.running_var": abs(t(planes)) + 0.5}
+            inplanes = planes
+        sd["fc.weight"] = t(1000, 512)
+        sd["fc.bias"] = t(1000)
+
+        import jax
+
+        model = ARVModel(method="baseline", nclass=200)
+        params, state = init_model(model, jax.random.PRNGKey(0), (1, 1, 64, 64, 3))
+        imported = torch_import.inflate_resnet18_2d(sd)
+        merged = torch_import.merge_variables({"params": params, **state}, imported)
+        # trunk conv weights replaced, fc untouched (inflation skips fc)
+        got = _np.asarray(merged["params"]["trunk"]["conv1"]["kernel"])
+        want = _np.transpose(sd["conv1.weight"].numpy(), (2, 3, 1, 0))
+        _np.testing.assert_allclose(got, want, atol=0)
+        _np.testing.assert_allclose(
+            _np.asarray(merged["params"]["fc"]["kernel"]),
+            _np.asarray(params["fc"]["kernel"]),
+            atol=0,
+        )
+        # bn stats imported
+        _np.testing.assert_allclose(
+            _np.asarray(merged["batch_stats"]["trunk"]["bn1"]["mean"]),
+            sd["bn1.running_mean"].numpy(),
+            atol=0,
+        )
