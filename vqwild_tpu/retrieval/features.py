@@ -114,8 +114,15 @@ class FeatureExtractor:
 
     def _embed_cropped(self, clips_u8) -> np.ndarray:
         """cropped uint8 clips → [B, C, T] features; normalization happens on
-        device inside feat_fn's jit (feat_fn accepts uint8)."""
-        return self.feat_fn(clips_u8)
+        device inside feat_fn's jit (feat_fn accepts uint8).
+
+        Partial (final) batches are edge-padded to test_batch_size so the
+        trunk compiles for exactly one batch shape."""
+        n = clips_u8.shape[0]
+        if 0 < n < self.test_batch_size:
+            pad = np.repeat(clips_u8[-1:], self.test_batch_size - n, axis=0)
+            clips_u8 = np.concatenate([clips_u8, pad], axis=0)
+        return self.feat_fn(clips_u8)[:n]
 
     def extract_trimmed(self, records: Sequence[VideoRecord]) -> np.ndarray:
         """[N', C] clip features (N' < N under a debug cap): per-frame
