@@ -196,3 +196,31 @@ class TestMeshUtils:
         assert (padded[10:] == arr[-1]).all()
         same, n2 = pad_to_multiple(arr[:8], 8)
         assert same.shape[0] == 8 and n2 == 8
+
+
+class TestAccumGradSchedule:
+    def test_decay_boundary_in_optimizer_updates(self):
+        """With accum_grad=k the x0.1 decay must still fire at epoch
+        lr_decay_rate in LOADER steps (MultiSteps advances the inner schedule
+        once per k loader steps)."""
+        import optax
+
+        steps_per_epoch, k, decay_epoch = 10, 2, 3
+        tx = make_optimizer(1.0, 0.0, steps_per_epoch, decay_epoch, accum_grad=k)
+        w = jnp.zeros(3)
+        st = tx.init(w)
+        g = jnp.ones(3)
+        lrs = []
+        for loader_step in range(steps_per_epoch * 5):
+            updates, st = tx.update(g, st, w)
+            w2 = optax.apply_updates(w, updates)
+            delta = float(jnp.abs(w2 - w).max())
+            if delta > 0:  # an actual optimizer update happened
+                lrs.append((loader_step, delta))
+            w = w2
+        # first update after decay boundary: loader step >= decay_epoch*steps
+        before = [d for s, d in lrs if s < steps_per_epoch * decay_epoch]
+        after = [d for s, d in lrs if s >= steps_per_epoch * (decay_epoch + 1)]
+        assert before and after
+        # adam-normalized step magnitude scales with lr -> after ~0.1x before
+        assert np.median(after) < 0.2 * np.median(before)

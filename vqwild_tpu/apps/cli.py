@@ -243,7 +243,7 @@ def run_evaluation(cfg, extra, run_dir: RunDir):
         variables = load_variables(
             extra.get("test_load", ""), cfg.model.method, model, params, state_vars
         )
-        feat_fn = make_feat_fn(model, variables)
+        feat_fn = make_feat_fn(model, variables, mesh=mesh)
     extractor = FeatureExtractor(
         feat_fn,
         store,

@@ -33,8 +33,21 @@ def pairwise_sq_l2(q, g, precision=jax.lax.Precision.HIGHEST):
     return jnp.maximum(q2 + g2 - 2.0 * cross, 0.0)
 
 
-def _use_pallas() -> bool:
-    return jax.default_backend() == "tpu"
+def _is_cross_device_sharded(x) -> bool:
+    s = getattr(x, "sharding", None)
+    try:
+        return s is not None and len(s.device_set) > 1 and not s.is_fully_replicated
+    except AttributeError:
+        return False
+
+
+def _use_pallas(*arrays) -> bool:
+    # GSPMD cannot partition the pallas_call: a row-sharded gallery would be
+    # all-gathered per device, defeating the sharding — use the XLA expansion
+    # (which partitions cleanly) whenever an operand is cross-device sharded
+    return jax.default_backend() == "tpu" and not any(
+        _is_cross_device_sharded(a) for a in arrays
+    )
 
 
 def score_matrix(q, g):
@@ -44,7 +57,7 @@ def score_matrix(q, g):
     On TPU the fused Pallas kernel computes the distance tile-by-tile on the
     MXU (ops/pallas_kernels.py); elsewhere the XLA expansion is used.
     """
-    if _use_pallas():
+    if _use_pallas(q, g):
         from vqwild_tpu.ops.pallas_kernels import pairwise_sq_l2_pallas
 
         return -pairwise_sq_l2_pallas(q, g)

@@ -162,7 +162,8 @@ class ARVRetrievalMoment:
         self.robust_map = robust_map
         self.rank_chunk = rank_chunk
         self.read_cache = read_cache
-        self.workers = workers
+        # 0 means "no loader workers" at the CLI; postprocess still needs >=1
+        self.workers = max(1, workers)
         self.mesh = mesh
         self.possible_classes = set(spec.possible_classes("testing"))
         self.queries: List[VideoRecord] = db.nonnoise_queries()

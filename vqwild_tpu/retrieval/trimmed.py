@@ -143,7 +143,9 @@ class ARVRetrievalTrimmed:
                 jnp.asarray(ignore),
                 r_at_n=self.r_at_n,
                 robust=self.robust_map,
-                topk=100 if diag is not None else 0,
+                # headroom: ignored entries are dropped AFTER the top cut,
+                # and the reference slices the ignore-filtered ranking
+                topk=(100 + 8 * self.multi_query_extra) if diag is not None else 0,
             )
             aps = np.asarray(out["ap"])
             recalls = np.asarray(out["recalls"])
@@ -152,8 +154,8 @@ class ARVRetrievalTrimmed:
                 q = records[qs[0]]
                 agg.add(q.label, q.retrieval_type, float(aps[bi]), recalls[bi].tolist())
                 if diag is not None:
-                    # drop ignored (and shard-padding) entries from the top list
-                    top = [g for g in top_idx[bi] if not ignore[bi, g]]
+                    # first 100 of the ignore-filtered ranking (dataloader:437-466)
+                    top = [g for g in top_idx[bi] if not ignore[bi, g]][:100]
                     diag["gt_labels"].extend([q.label] * len(top))
                     diag["label"].extend(records[g].label for g in top)
                     diag["top30_result_list"].append(

@@ -234,7 +234,11 @@ def loss_select(name: str, nclass: int, embed_dim: int, rng_key=None) -> Tuple:
     if name == "npair":
         return (
             lambda b, l, rng: {"npairs": npair_tuples(l, rng)},
-            lambda batch, labels, aux, params: npair_loss(batch, aux["npairs"]),
+            lambda batch, labels, aux, params: (
+                jnp.zeros((), batch.dtype)
+                if aux.get("npairs") is None
+                else npair_loss(batch, aux["npairs"])
+            ),
             {},
         )
     if name == "marginloss":

@@ -51,9 +51,12 @@ def make_optimizer(
     lr_decay_factor: float = 0.1,
     accum_grad: int = 1,
 ) -> optax.GradientTransformation:
+    # optax.MultiSteps advances the inner schedule once per accum_grad loader
+    # steps, so the decay boundary must be expressed in optimizer updates
+    updates_per_epoch = max(1, steps_per_epoch // max(1, accum_grad))
     schedule = optax.piecewise_constant_schedule(
         init_value=init_lr,
-        boundaries_and_scales={steps_per_epoch * lr_decay_epoch: lr_decay_factor},
+        boundaries_and_scales={updates_per_epoch * lr_decay_epoch: lr_decay_factor},
     )
     tx = optax.chain(
         optax.add_decayed_weights(weight_decay),  # torch Adam L2 (pre-moment)
