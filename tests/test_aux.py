@@ -84,6 +84,18 @@ class TestDiagnostics:
         assert cm["top30_result_list"] and len(cm["top30_result_list"][0]) <= 30
         assert cm["base_classes"] and cm["novel_classes"]
         assert cm["query_duration_map_dict"]
+        # system-level y_true/y_pred stream (dataloader:448-456)
+        sysd = cm["system_ap_dict"]
+        import numpy as np
+
+        yt, yp = sysd["y_true"], sysd["y_pred"]
+        assert len(yt) == len(yp) > 0
+        assert set(np.unique(yt)) <= {0, 1}
+        assert len(sysd["base_y_true"]) + len(sysd["novel_y_true"]) == len(yt)
+        assert len(sysd["base_y_pred"]) == len(sysd["base_y_true"])
+        # scores arrive ranked: within each query the stream is descending,
+        # so the global stream's positives must include the robust trailing 1
+        assert yt[-1] == 1
 
 
 class TestRankingLoss:

@@ -246,3 +246,34 @@ class TestClosestHitsVectorized:
         labels, ious = closest_hits_vectorized([], locs, {"x"})
         assert list(labels) == ["", ""]
         assert (ious == 0).all()
+
+
+class TestFeatureCacheFormat:
+    """The on-disk cache is a directory of memmap-able .npy files (one per
+    key); legacy single-file .npz caches still load."""
+
+    def test_memmap_roundtrip_and_overwrite(self, tmp_path):
+        ex = fake_extractor(cache_dir=str(tmp_path))
+        feats = np.arange(24, dtype=np.float32).reshape(6, 4)
+        labels = np.array(["a", "b", "c", "d", "e", "f"])
+        ex.save_cache("gal.npz", feats=feats, hit_label=labels)
+        out = ex.load_cache("gal.npz")
+        np.testing.assert_array_equal(np.asarray(out["feats"]), feats)
+        assert list(out["hit_label"]) == list(labels)
+        # numeric arrays come back memory-mapped (zero-copy load)
+        assert isinstance(out["feats"], np.memmap)
+        # overwrite replaces the whole directory atomically
+        ex.save_cache("gal.npz", feats=feats * 2)
+        out2 = ex.load_cache("gal.npz")
+        np.testing.assert_array_equal(np.asarray(out2["feats"]), feats * 2)
+        assert "hit_label" not in out2
+
+    def test_legacy_npz_fallback(self, tmp_path):
+        ex = fake_extractor(cache_dir=str(tmp_path))
+        np.savez(tmp_path / "old.npz", x=np.ones(3))
+        out = ex.load_cache("old.npz")
+        np.testing.assert_array_equal(out["x"], np.ones(3))
+
+    def test_miss_returns_none(self, tmp_path):
+        ex = fake_extractor(cache_dir=str(tmp_path))
+        assert ex.load_cache("absent.npz") is None

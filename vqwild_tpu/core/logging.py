@@ -97,8 +97,13 @@ class RunDir:
 
     def write_metrics(self, name: str, metrics: dict) -> str:
         out = os.path.join(self.path, "metrics", name + ".json")
+
+        def _default(o):
+            tolist = getattr(o, "tolist", None)  # ndarray / np scalar
+            return tolist() if tolist is not None else float(o)
+
         with open(out, "w") as f:
-            json.dump(metrics, f, indent=2, default=float)
+            json.dump(metrics, f, indent=2, default=_default)
         return out
 
     def close(self):

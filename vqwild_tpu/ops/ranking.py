@@ -25,7 +25,9 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("r_at_n", "robust", "topk"))
+@functools.partial(
+    jax.jit, static_argnames=("r_at_n", "robust", "topk", "full_rank")
+)
 def ranked_retrieval_metrics(
     scores,
     tp,
@@ -33,9 +35,14 @@ def ranked_retrieval_metrics(
     r_at_n: Tuple[int, ...] = (30, 50, 100),
     robust: bool = True,
     topk: int = 0,
+    full_rank: bool = False,
 ):
     """scores [Q,G] f32; tp/ignore [Q,G] bool →
     dict(ap [Q], recalls [Q,len(r_at_n)], npos [Q], top_idx [Q,topk]?).
+
+    ``full_rank`` additionally returns the sorted per-query stream —
+    tp_sorted/scores_sorted [Q,G] (pre-robust labels) and nvalid [Q] — for
+    the system_ap_dict diagnostics dump (dataloader_baseline.py:448-456).
 
     Sorting is stable descending, so ties keep gallery order (FAISS likewise
     returns ties in index order).
@@ -84,4 +91,8 @@ def ranked_retrieval_metrics(
     )
     if topk:
         out["top_idx"] = order[:, :topk]
+    if full_rank:
+        out["tp_sorted"] = tp_sorted & valid
+        out["scores_sorted"] = s_sorted
+        out["nvalid"] = nvalid[:, 0]
     return out

@@ -202,6 +202,13 @@ class FeatureExtractor:
         return tapes
 
     # -- cache --
+    #
+    # Format: a directory of plain .npy files, one per key (name "x.npz" →
+    # dir "x/"). Numeric arrays are written through np.lib.format.open_memmap
+    # and loaded with mmap_mode="r": no zip deflate on write, zero-copy
+    # on-demand paging on read — at production scale the moment gallery is a
+    # multi-GB feats block and the .npz round trip cost minutes. Legacy .npz
+    # files are still readable. (Reference: feat_cache.pkl, :1450-1456.)
     def cache_path(self, name: str) -> Optional[str]:
         if not self.cache_dir:
             return None
@@ -210,7 +217,23 @@ class FeatureExtractor:
 
     def load_cache(self, name: str):
         path = self.cache_path(name)
-        if path and os.path.exists(path):
+        if not path:
+            return None
+        base = path[:-4] if path.endswith(".npz") else path
+        if os.path.isdir(base):
+            log.warning("loading feature cache %s/", base)
+            out = {}
+            for fn in sorted(os.listdir(base)):
+                if not fn.endswith(".npy"):
+                    continue
+                fp = os.path.join(base, fn)
+                try:
+                    arr = np.load(fp, mmap_mode="r")
+                except ValueError:  # object/str arrays can't memmap
+                    arr = np.load(fp, allow_pickle=True)
+                out[fn[:-4]] = arr
+            return out or None
+        if os.path.exists(path):  # legacy single-file .npz
             log.warning("loading feature cache %s", path)
             with np.load(path, allow_pickle=True) as z:
                 return {k: z[k] for k in z.files}
@@ -218,6 +241,27 @@ class FeatureExtractor:
 
     def save_cache(self, name: str, **arrays):
         path = self.cache_path(name)
-        if path:
-            log.warning("writing feature cache %s", path)
-            np.savez(path, **arrays)
+        if not path:
+            return
+        base = path[:-4] if path.endswith(".npz") else path
+        log.warning("writing feature cache %s/", base)
+        tmp = base + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        for key, arr in arrays.items():
+            arr = np.asarray(arr)
+            fp = os.path.join(tmp, key + ".npy")
+            if arr.dtype == object or arr.dtype.kind in "US":
+                np.save(fp, arr)
+            else:
+                mm = np.lib.format.open_memmap(
+                    fp, mode="w+", dtype=arr.dtype, shape=arr.shape
+                )
+                mm[...] = arr
+                mm.flush()
+                del mm
+        # atomic publish so a crashed writer never leaves a half cache
+        if os.path.isdir(base):
+            import shutil
+
+            shutil.rmtree(base)
+        os.replace(tmp, base)

@@ -114,6 +114,16 @@ class ARVRetrievalTrimmed:
             if self.collect_diagnostics
             else None
         )
+        # system-level y_true/y_pred stream per query, split by base/novel
+        # (dataloader_baseline.py:448-456); accumulated as numpy chunks, not
+        # python lists — at ARV scale the stream is Q×G ≈ 10^8 entries
+        sys_ap = {
+            k: [] for k in (
+                "y_true", "y_pred",
+                "base_y_true", "base_y_pred",
+                "novel_y_true", "novel_y_pred",
+            )
+        } if self.collect_diagnostics else None
 
         scorer = GalleryScorer(gallery_feats, mesh=self.mesh)
         for start in range(0, len(expanded), self.rank_chunk):
@@ -146,14 +156,28 @@ class ARVRetrievalTrimmed:
                 # headroom: ignored entries are dropped AFTER the top cut,
                 # and the reference slices the ignore-filtered ranking
                 topk=(100 + 8 * self.multi_query_extra) if diag is not None else 0,
+                full_rank=diag is not None,
             )
             aps = np.asarray(out["ap"])
             recalls = np.asarray(out["recalls"])
             top_idx = np.asarray(out["top_idx"]) if diag is not None else None
+            if diag is not None:
+                tp_sorted = np.asarray(out["tp_sorted"])
+                s_sorted = np.asarray(out["scores_sorted"], np.float32)
+                nvalid = np.asarray(out["nvalid"])
             for bi, qs in enumerate(batch):
                 q = records[qs[0]]
                 agg.add(q.label, q.retrieval_type, float(aps[bi]), recalls[bi].tolist())
                 if diag is not None:
+                    k = int(nvalid[bi])
+                    yt = tp_sorted[bi, :k].astype(np.int8)
+                    if self.robust_map and k:
+                        yt[-1] = 1  # y_true[-1]=1 "for robust mAP" (:434)
+                    yp = s_sorted[bi, :k]
+                    sys_ap["y_true"].append(yt)
+                    sys_ap["y_pred"].append(yp)
+                    sys_ap[f"{q.retrieval_type}_y_true"].append(yt)
+                    sys_ap[f"{q.retrieval_type}_y_pred"].append(yp)
                     # first 100 of the ignore-filtered ranking (dataloader:437-466)
                     top = [g for g in top_idx[bi] if not ignore[bi, g]][:100]
                     diag["gt_labels"].extend([q.label] * len(top))
@@ -174,5 +198,9 @@ class ARVRetrievalTrimmed:
             diag["base_classes"] = agg.base_classes
             diag["novel_classes"] = agg.novel_classes
             diag["class_map_dict"] = result["class_map_dict"]
+            diag["system_ap_dict"] = {
+                k: (np.concatenate(v) if v else np.empty(0, np.int8))
+                for k, v in sys_ap.items()
+            }
             result["cm_dict"] = diag
         return result
