@@ -196,3 +196,23 @@ class TestClipsAndTriplets:
             store.read_frames("training", "vidB", np.array([1, 3])),
             frames_b[[0, 2]],
         )
+
+
+class TestScaledResize:
+    def test_matches_cv2(self):
+        cv2 = pytest.importorskip("cv2")
+        from vqwild_tpu.data.transforms import scaled_resize
+
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 255, (3, 20, 30, 3), np.uint8)
+        out = scaled_resize(frames, 16)
+        assert out.shape == (3, 16, 16, 3)
+        want = np.stack([cv2.resize(f, dsize=(16, 16)) for f in frames])
+        np.testing.assert_array_equal(out, want)
+
+    def test_identity_size(self):
+        from vqwild_tpu.data.transforms import scaled_resize
+
+        rng = np.random.default_rng(1)
+        frames = rng.integers(0, 255, (2, 8, 8, 3), np.uint8)
+        np.testing.assert_array_equal(scaled_resize(frames, 8), frames)

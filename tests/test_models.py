@@ -297,3 +297,34 @@ class TestInflation2D:
             sd["bn1.running_mean"].numpy(),
             atol=0,
         )
+
+
+class TestNonLocalND:
+    """NONLocalBlock2D/3D parity wrappers (nl.py:161-184)."""
+
+    def _run(self, x, sub_sample=False):
+        from vqwild_tpu.models.heads import NonLocalND
+
+        m = NonLocalND(channels=x.shape[-1], inter_channels=8, sub_sample=sub_sample)
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        return m, v, m.apply(v, x, train=False)
+
+    def test_2d_identity_at_init(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 6, 6, 16)).astype(np.float32)
+        _, _, y = self._run(x)
+        # zero-init BN on W makes the block start as identity
+        np.testing.assert_allclose(np.asarray(y), x, atol=1e-6)
+
+    def test_3d_shapes_and_subsample(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(2, 3, 4, 4, 16)).astype(np.float32)
+        m, v, y = self._run(x, sub_sample=True)
+        assert y.shape == x.shape
+        # train mode perturbs via batch-stat BN; still finite
+        y2, _ = m.apply(
+            v, x, train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+        assert np.isfinite(np.asarray(y2)).all()

@@ -189,3 +189,85 @@ class TestSegmentPool:
             [0, 10], [5, 15],
             [0, 15],
         ]
+
+
+class TestYUV420Wire:
+    """The 1.5-byte/pixel host→device wire format (ops/preprocess.py)."""
+
+    def _normalize_rgb(self, rgb_u8):
+        from vqwild_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+        x = rgb_u8.astype(np.float32) / 255.0
+        return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+    def test_chroma_constant_roundtrip_exact(self):
+        from vqwild_tpu.ops.preprocess import (
+            normalize_clips_yuv420,
+            rgb_to_yuv420_host,
+        )
+
+        # chroma constant within each 2x2 block → subsampling is lossless,
+        # only uint8 rounding remains (≤ ~1.5/255 after the 3x3 roundtrip)
+        rng = np.random.default_rng(0)
+        small = rng.integers(0, 255, (2, 3, 8, 8, 3), np.uint8)
+        rgb = np.repeat(np.repeat(small, 2, axis=2), 2, axis=3)  # [2,3,16,16,3]
+        y, uv = rgb_to_yuv420_host(rgb)
+        out = np.asarray(normalize_clips_yuv420(y, uv))
+        want = self._normalize_rgb(rgb)
+        # tolerance in normalized units: 2/255 / min(std) ≈ 0.035
+        assert np.abs(out - want).max() < 0.04
+
+    def test_natural_content_bounded_error(self):
+        from vqwild_tpu.ops.preprocess import (
+            normalize_clips_yuv420,
+            rgb_to_yuv420_host,
+        )
+
+        # smooth gradient content (what video frames look like locally)
+        h = w = 32
+        gy, gx = np.mgrid[0:h, 0:w].astype(np.float32)
+        rgb = np.stack(
+            [120 + 40 * np.sin(gx / 7), 90 + 30 * np.cos(gy / 9), 60 + gx + gy],
+            axis=-1,
+        )
+        rgb = np.clip(rgb, 0, 255).astype(np.uint8)[None, None]
+        y, uv = rgb_to_yuv420_host(rgb)
+        out = np.asarray(normalize_clips_yuv420(y, uv))
+        want = self._normalize_rgb(rgb)
+        assert np.abs(out - want).mean() < 0.05
+
+    def test_crop_yuv_matches_rgb_crop(self):
+        from vqwild_tpu.ops.preprocess import (
+            crop_clips_host,
+            crop_yuv420_host,
+            rgb_to_yuv420_host,
+        )
+
+        rng = np.random.default_rng(1)
+        frames = rng.integers(0, 255, (3, 2, 24, 30, 3), np.uint8)
+        y, uv = rgb_to_yuv420_host(frames)
+        offsets = np.array([[0, 2], [4, 6], [8, 10]], np.int32)  # even
+        flips = np.array([False, True, False])
+        cy, cuv = crop_yuv420_host(y, uv, offsets, flips, 16)
+        rgbc = crop_clips_host(frames, offsets, flips, 16)
+        ey, euv = rgb_to_yuv420_host(rgbc)
+        np.testing.assert_array_equal(cy, ey)
+        np.testing.assert_array_equal(cuv, euv)
+
+    def test_odd_offsets_round_down_even(self):
+        from vqwild_tpu.ops.preprocess import crop_yuv420_host, rgb_to_yuv420_host
+
+        rng = np.random.default_rng(2)
+        frames = rng.integers(0, 255, (1, 1, 20, 20, 3), np.uint8)
+        y, uv = rgb_to_yuv420_host(frames)
+        a = crop_yuv420_host(y, uv, [[3, 5]], [False], 8)
+        b = crop_yuv420_host(y, uv, [[2, 4]], [False], 8)
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+
+    def test_wire_bytes_halved(self):
+        from vqwild_tpu.ops.preprocess import rgb_to_yuv420_host
+
+        rgb = np.zeros((4, 8, 112, 112, 3), np.uint8)
+        y, uv = rgb_to_yuv420_host(rgb)
+        assert (y.nbytes + uv.nbytes) * 2 == rgb.nbytes

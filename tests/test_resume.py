@@ -95,3 +95,25 @@ class TestShardedFeatFn:
         b = f1(clips)
         assert a.shape == b.shape == (5, 512, 2)
         np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+class TestYUVWireFeatFn:
+    def test_yuv_wire_matches_rgb(self):
+        """The 4:2:0 wire format must produce near-identical embeddings on
+        chroma-smooth content (source JPEGs are 4:2:0 to begin with)."""
+        from tests.test_train import small_setup
+        from vqwild_tpu.ops.preprocess import rgb_to_yuv420_host
+
+        model, state, _ = small_setup("baseline")
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        f_rgb = make_feat_fn(model, variables)
+        f_yuv = make_feat_fn(model, variables, wire="yuv420")
+        rng = np.random.default_rng(0)
+        small = rng.integers(0, 255, (3, 2, 16, 16, 3), dtype=np.uint8)
+        clips = np.repeat(np.repeat(small, 2, axis=2), 2, axis=3)  # 32x32
+        a = f_rgb(clips)
+        b = f_yuv(*rgb_to_yuv420_host(clips))
+        assert a.shape == b.shape == (3, 512, 2)
+        # embeddings are L2-normalized; cosine similarity ≈ 1
+        cos = np.sum(a * b, axis=1)
+        assert cos.min() > 0.999

@@ -67,3 +67,33 @@ def normalize_imagenet(frames_u8: np.ndarray) -> np.ndarray:
 
 def denormalize_imagenet(frames: np.ndarray) -> np.ndarray:
     return frames * IMAGENET_STD + IMAGENET_MEAN
+
+
+def scaled_resize(frames: np.ndarray, size: int) -> np.ndarray:
+    """Per-frame bilinear resize to (size, size) — the reference's
+    ScaledCenterCrop transform (video_transforms.py:109-121, unused by its
+    main path; provided for capability parity). Uses cv2 when present,
+    otherwise a numpy bilinear resize with cv2's half-pixel convention."""
+    t, h, w, c = frames.shape
+    try:
+        import cv2
+
+        return np.stack([cv2.resize(f, dsize=(size, size)) for f in frames])
+    except ImportError:
+        pass
+    sy, sx = h / size, w / size
+    ys = np.clip((np.arange(size) + 0.5) * sy - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(size) + 0.5) * sx - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    f = frames.astype(np.float32)
+    top = f[:, y0][:, :, x0] * (1 - wx) + f[:, y0][:, :, x1] * wx
+    bot = f[:, y1][:, :, x0] * (1 - wx) + f[:, y1][:, :, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    if frames.dtype == np.uint8:
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out.astype(frames.dtype)

@@ -140,6 +140,58 @@ class NonLocal1D(nn.Module):
         return y + x_support
 
 
+class NonLocalND(nn.Module):
+    """Self-attention non-local block over a feature map's positions —
+    the NONLocalBlock2D/3D wrappers (nl.py:161-184; unused by the reference's
+    main path, provided for capability parity).
+
+    Input is channels-last: [B, *spatial, C] (2D: [B,H,W,C]; 3D:
+    [B,T,H,W,C]). Positions flatten to one sequence and attention runs as
+    batched matmuls on the MXU — the upstream 1x1 convs are Dense layers over
+    the channel dim. ``sub_sample`` max-pools φ/g spatially by 2 (temporal
+    dim untouched, matching the (1,2,2) 3D pool) before flattening.
+    """
+
+    channels: int
+    inter_channels: int
+    sub_sample: bool = False
+    dropout: float = 0.2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, c = x.shape[0], x.shape[-1]
+        spatial = x.shape[1:-1]
+        c_i = self.inter_channels
+        kv = x
+        if self.sub_sample:
+            ndim = len(spatial)
+            window = (1,) * (ndim - 2) + (2, 2) if ndim >= 2 else (2,)
+            kv = nn.max_pool(x, window, strides=window)
+        seq_q = x.reshape(b, -1, c)
+        seq_kv = kv.reshape(b, -1, c)
+        theta = dense_torch(c_i, c, "theta", self.dtype)(seq_q)
+        phi = dense_torch(c_i, c, "phi", self.dtype)(seq_kv)
+        g = dense_torch(c_i, c, "g", self.dtype)(seq_kv)
+        attn = jax.nn.softmax(
+            jnp.einsum("bnc,bmc->bnm", theta, phi) / math.sqrt(c_i), axis=-1
+        )
+        y = jnp.einsum("bnm,bmc->bnc", attn, g)
+        y = param_free_layernorm(y)
+        y = nn.relu(y)
+        y = dense_torch(c, c_i, "w", self.dtype)(y)
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            epsilon=1e-5,
+            momentum=0.9,
+            scale_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="w_bn",
+        )(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        return (y + seq_q).reshape(x.shape)
+
+
 class SemanticAdaptor(nn.Module):
     """MLP 512→640→768→896→semantic_dim with inner ReLUs
     (resnet18_vasa.py:75-89)."""

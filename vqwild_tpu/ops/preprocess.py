@@ -62,6 +62,104 @@ def normalize_clips(clips_u8, out_dtype=jnp.float32):
     return ((x - mean) * inv_std).astype(out_dtype)
 
 
+# ---- YUV 4:2:0 wire format ----
+#
+# The production host→device wire format: planar Y [.,H,W] + interleaved
+# chroma UV [.,H/2,W/2,2], 1.5 bytes/pixel vs RGB's 3. The ARV source frames
+# are JPEG (4:2:0 chroma-subsampled at encode time), so shipping 4:2:0 loses
+# nothing the JPEG hadn't already dropped — while halving the host→device
+# transfer AND the packed-store disk footprint. Chroma upsample (nearest) +
+# BT.601 full-range conversion + ImageNet normalize all fuse into the model
+# jit as one VPU elementwise chain. (JFIF/BT.601 full-range constants.)
+
+def rgb_to_yuv420_host(rgb_u8: np.ndarray):
+    """[..., H, W, 3] uint8 → (Y [..., H, W], UV [..., H/2, W/2, 2]) uint8.
+
+    H and W must be even. Chroma is the mean of each 2x2 block (the standard
+    4:2:0 downsample); since the RGB→YUV map is linear, Cb/Cr are computed
+    directly from the 2x2-block-mean RGB — 4x less chroma math and no
+    full-resolution chroma temporaries. Vectorized numpy, in-place
+    accumulation (one float32 luma plane, one quarter-size RGB mean) — runs
+    in loader threads."""
+    h, w = rgb_u8.shape[-3], rgb_u8.shape[-2]
+    if h % 2 or w % 2:
+        raise ValueError(f"YUV420 needs even dims, got {h}x{w}")
+    lead = rgb_u8.shape[:-3]
+    r = rgb_u8[..., 0]
+    g = rgb_u8[..., 1]
+    b = rgb_u8[..., 2]
+    # luma: one float32 plane, accumulated in place
+    yf = np.multiply(r, np.float32(0.299), dtype=np.float32)
+    yf += np.multiply(g, np.float32(0.587), dtype=np.float32)
+    yf += np.multiply(b, np.float32(0.114), dtype=np.float32)
+    np.rint(yf, out=yf)
+    y = yf.astype(np.uint8)  # 0.299+0.587+0.114 = 1 → already in [0,255]
+    # chroma from block-mean RGB (uint8 2x2 sums fit uint16)
+    blk = rgb_u8.reshape(lead + (h // 2, 2, w // 2, 2, 3))
+    s = blk.astype(np.uint16).sum(axis=-2, dtype=np.uint16).sum(axis=-3, dtype=np.uint16)
+    rm = s[..., 0].astype(np.float32)
+    gm = s[..., 1]
+    bm = s[..., 2]
+    q = np.float32(0.25)
+    cb = np.multiply(rm, np.float32(-0.168736) * q, dtype=np.float32)
+    cb += np.multiply(gm, np.float32(-0.331264) * q, dtype=np.float32)
+    cb += np.multiply(bm, np.float32(0.5) * q, dtype=np.float32)
+    cb += np.float32(128.0)
+    cr = np.multiply(rm, np.float32(0.5) * q, dtype=np.float32)
+    cr += np.multiply(gm, np.float32(-0.418688) * q, dtype=np.float32)
+    cr += np.multiply(bm, np.float32(-0.081312) * q, dtype=np.float32)
+    cr += np.float32(128.0)
+    uv = np.empty(lead + (h // 2, w // 2, 2), np.uint8)
+    np.clip(np.rint(cb, out=cb), 0, 255, out=cb)
+    np.clip(np.rint(cr, out=cr), 0, 255, out=cr)
+    uv[..., 0] = cb
+    uv[..., 1] = cr
+    return y, uv
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def normalize_clips_yuv420(y_u8, uv_u8, out_dtype=jnp.float32):
+    """(Y [...,H,W], UV [...,H/2,W/2,2]) uint8 → [...,H,W,3] ImageNet-normalized.
+
+    Nearest-neighbor chroma upsample + BT.601 full-range → RGB in [0,1] →
+    ImageNet normalize, fused on device."""
+    y = jnp.asarray(y_u8).astype(jnp.float32)
+    uv = jnp.asarray(uv_u8).astype(jnp.float32) - 128.0
+    uv = jnp.repeat(jnp.repeat(uv, 2, axis=-3), 2, axis=-2)  # nearest upsample
+    cb, cr = uv[..., 0], uv[..., 1]
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    x = jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0) * (1.0 / 255.0)
+    mean = jnp.asarray(IMAGENET_MEAN)
+    inv_std = jnp.asarray(1.0 / IMAGENET_STD)
+    return ((x - mean) * inv_std).astype(out_dtype)
+
+
+def crop_yuv420_host(y: np.ndarray, uv: np.ndarray, offsets, flips, size: int):
+    """Whole-clip crop+flip directly in YUV420 planes.
+
+    y [B,T,H,W], uv [B,T,H/2,W/2,2] → cropped (y, uv) at ``size``. Crop
+    offsets are rounded down to even so the chroma grid stays aligned (a
+    ≤1-pixel shift vs the RGB path; ``size`` must be even)."""
+    if size % 2:
+        raise ValueError("YUV420 crop size must be even")
+    b = y.shape[0]
+    oy = np.empty((b, y.shape[1], size, size), y.dtype)
+    ouv = np.empty((b, uv.shape[1], size // 2, size // 2, 2), uv.dtype)
+    for i in range(b):
+        top = (int(offsets[i][0]) // 2) * 2
+        left = (int(offsets[i][1]) // 2) * 2
+        cy = y[i, :, top : top + size, left : left + size]
+        cuv = uv[i, :, top // 2 : top // 2 + size // 2, left // 2 : left // 2 + size // 2, :]
+        if flips[i]:
+            cy = cy[:, :, ::-1]
+            cuv = cuv[:, :, ::-1, :]
+        oy[i] = cy
+        ouv[i] = cuv
+    return oy, ouv
+
+
 def crop_clips_host(frames: np.ndarray, offsets, flips, size: int) -> np.ndarray:
     """Host crop+flip: [B,T,H,W,C] u8 + per-clip (top,left)/flip → [B,T,s,s,C] u8.
 

@@ -31,23 +31,45 @@ from vqwild_tpu.ops.preprocess import normalize_clips
 log = get_logger("retrieval.features")
 
 
-def make_feat_fn(model, variables, mesh=None) -> Callable:
+def make_feat_fn(model, variables, mesh=None, wire: str = "rgb") -> Callable:
     """Returns f(clips [B,T,s,s,C] uint8-cropped or float) → np [B, C, T],
     frame embeddings L2-normalized across channels (main.py:232). uint8 input
     gets ImageNet-normalized on device inside the jit.
+
+    ``wire="yuv420"`` returns f(y [B,T,s,s] u8, uv [B,T,s/2,s/2,2] u8)
+    instead — the 1.5-byte/pixel wire format (ops/preprocess.py): chroma
+    upsample + BT.601 + normalize fuse into the same jit, halving the
+    host→device transfer on bandwidth-bound links.
 
     With a mesh, extraction batches shard over the ``data`` axis (rows are
     edge-padded to the shard multiple and cropped after) — the multi-chip
     feature-extraction path."""
 
-    @jax.jit
-    def _fwd(x):
-        if x.dtype == jnp.uint8:
-            x = normalize_clips(x, out_dtype=model.dtype)
+    def _head(x):
         out = model.apply(variables, x, train=False)
         fe = out.frame_embed  # [B, T, C]
         fe = fe / jnp.maximum(jnp.linalg.norm(fe, axis=-1, keepdims=True), 1e-12)
         return jnp.transpose(fe, (0, 2, 1))  # [B, C, T]
+
+    if wire == "yuv420":
+        from vqwild_tpu.ops.preprocess import normalize_clips_yuv420
+
+        @jax.jit
+        def _fwd_yuv(y, uv):
+            return _head(normalize_clips_yuv420(y, uv, out_dtype=model.dtype))
+
+        def feat_fn_yuv(y, uv):
+            return np.asarray(_fwd_yuv(jnp.asarray(y), jnp.asarray(uv)))
+
+        return feat_fn_yuv
+    if wire != "rgb":
+        raise ValueError(f"unknown wire format {wire!r}")
+
+    @jax.jit
+    def _fwd(x):
+        if x.dtype == jnp.uint8:
+            x = normalize_clips(x, out_dtype=model.dtype)
+        return _head(x)
 
     if mesh is None:
         def feat_fn(clips):
