@@ -277,3 +277,31 @@ class TestFeatureCacheFormat:
     def test_miss_returns_none(self, tmp_path):
         ex = fake_extractor(cache_dir=str(tmp_path))
         assert ex.load_cache("absent.npz") is None
+
+
+class TestExtractorYUVWire:
+    def test_trimmed_features_match_rgb_wire(self, tiny_arv):
+        from tests.test_train import small_setup
+        from vqwild_tpu.retrieval.features import make_feat_fn
+
+        db = load_trimmed_db(tiny_arv["db_path"])
+        records = db.flat("validation")[:5]
+        model, state, _ = small_setup("baseline")
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        def mk(wire):
+            return FeatureExtractor(
+                make_feat_fn(model, variables, wire=wire),
+                SyntheticFrameStore(),
+                test_frames=2,
+                test_batch_size=4,
+                input_size=32,
+                wire=wire,
+            )
+
+        a = mk("rgb").extract_trimmed(records)
+        b = mk("yuv420").extract_trimmed(records)
+        assert a.shape == b.shape
+        an = a / np.linalg.norm(a, axis=1, keepdims=True)
+        bn = b / np.linalg.norm(b, axis=1, keepdims=True)
+        assert np.sum(an * bn, axis=1).min() > 0.99

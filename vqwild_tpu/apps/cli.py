@@ -109,6 +109,8 @@ def parse(argv=None) -> ExperimentConfig:
     p.add_argument("--triplet_margin", type=float, default=1.0)
     p.add_argument("--collect_diagnostics", action="store_true",
                    help="collect the cm_dict confusion/top-30 payload during trimmed eval")
+    p.add_argument("--wire", choices=["rgb", "yuv420"], default="rgb",
+                   help="host→device wire format; yuv420 halves transfer bytes")
     p.add_argument("--profile", action="store_true", help="write a jax.profiler trace")
     p.add_argument("--resume", action="store_true",
                    help="resume training from the run dir's 'last' checkpoint")
@@ -153,6 +155,7 @@ def parse(argv=None) -> ExperimentConfig:
         read_cache_feat=args.read_cache_feat or args.evaluate,
         fake_features=args.memory_leak_debug,
         collect_diagnostics=args.collect_diagnostics,
+        wire=args.wire,
     )
     cfg = ExperimentConfig(data=data, model=model, train=train, eval=ev, run_dir=args.run_dir)
     cfg_extra = dict(
@@ -243,7 +246,7 @@ def run_evaluation(cfg, extra, run_dir: RunDir):
         variables = load_variables(
             extra.get("test_load", ""), cfg.model.method, model, params, state_vars
         )
-        feat_fn = make_feat_fn(model, variables, mesh=mesh)
+        feat_fn = make_feat_fn(model, variables, mesh=mesh, wire=cfg.eval.wire)
     extractor = FeatureExtractor(
         feat_fn,
         store,
@@ -254,6 +257,7 @@ def run_evaluation(cfg, extra, run_dir: RunDir):
         fake=cfg.eval.fake_features,
         cache_dir=os.path.join(run_dir.path, "cache"),
         max_batches=8 if cfg.train.debug else None,
+        wire="rgb" if cfg.eval.fake_features else cfg.eval.wire,
     )
     results = {}
     want_clip = extra.get("eval_clip") or extra.get("eval_all")
@@ -383,13 +387,14 @@ def run_training(cfg, extra, run_dir: RunDir):
         if st.memory:
             variables["memory"] = st.memory
         extractor = FeatureExtractor(
-            make_feat_fn(model, variables, mesh=mesh),
+            make_feat_fn(model, variables, mesh=mesh, wire=cfg.eval.wire),
             store,
             test_frames=cfg.data.test_frame,
             test_batch_size=cfg.data.test_batch_size,
             input_size=cfg.data.input_size,
             fps=cfg.data.fps,
             max_batches=8 if cfg.train.debug else None,
+            wire=cfg.eval.wire,
         )
         return ARVRetrievalTrimmed(
             db,

@@ -94,6 +94,7 @@ class EvalConfig:
     collect_diagnostics: bool = False  # cm_dict payload (dataloader:638-648)
     robust_map: bool = True  # y_true[-1]=1 quirk (dataloader:389, :434)
     rank_chunk: int = 256  # queries ranked per device batch
+    wire: str = "rgb"  # host→device wire format: rgb | yuv420 (ops/preprocess)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -55,25 +55,23 @@ def make_feat_fn(model, variables, mesh=None, wire: str = "rgb") -> Callable:
         from vqwild_tpu.ops.preprocess import normalize_clips_yuv420
 
         @jax.jit
-        def _fwd_yuv(y, uv):
-            return _head(normalize_clips_yuv420(y, uv, out_dtype=model.dtype))
+        def _fwd(*planes):
+            return _head(normalize_clips_yuv420(*planes, out_dtype=model.dtype))
 
-        def feat_fn_yuv(y, uv):
-            return np.asarray(_fwd_yuv(jnp.asarray(y), jnp.asarray(uv)))
+    elif wire == "rgb":
 
-        return feat_fn_yuv
-    if wire != "rgb":
+        @jax.jit
+        def _fwd(x):
+            if x.dtype == jnp.uint8:
+                x = normalize_clips(x, out_dtype=model.dtype)
+            return _head(x)
+
+    else:
         raise ValueError(f"unknown wire format {wire!r}")
 
-    @jax.jit
-    def _fwd(x):
-        if x.dtype == jnp.uint8:
-            x = normalize_clips(x, out_dtype=model.dtype)
-        return _head(x)
-
     if mesh is None:
-        def feat_fn(clips):
-            return np.asarray(_fwd(jnp.asarray(clips)))
+        def feat_fn(*arrays):
+            return np.asarray(_fwd(*(jnp.asarray(a) for a in arrays)))
 
         return feat_fn
 
@@ -84,9 +82,13 @@ def make_feat_fn(model, variables, mesh=None, wire: str = "rgb") -> Callable:
     n_shards = mesh.shape["data"]
     sharding = NamedSharding(mesh, P("data"))
 
-    def feat_fn_sharded(clips):
-        padded, n = pad_to_multiple(np.asarray(clips), n_shards)
-        out = _fwd(jax.device_put(padded, sharding))
+    def feat_fn_sharded(*arrays):
+        padded = []
+        n = None
+        for a in arrays:
+            p, n = pad_to_multiple(np.asarray(a), n_shards)
+            padded.append(jax.device_put(p, sharding))
+        out = _fwd(*padded)
         return np.asarray(out)[:n]
 
     return feat_fn_sharded
@@ -121,6 +123,7 @@ class FeatureExtractor:
         fake: bool = False,
         cache_dir: Optional[str] = None,
         max_batches: Optional[int] = None,
+        wire: str = "rgb",
     ):
         self.feat_fn = feat_fn
         self.store = store
@@ -133,6 +136,12 @@ class FeatureExtractor:
         # debug cap on eval feature batches (reference debug_iter,
         # dataloader_baseline.py:17, :718-719, :1459)
         self.max_batches = max_batches
+        # wire="yuv420": ship 4:2:0 planes instead of RGB (half the
+        # host→device bytes; see ops/preprocess.py). feat_fn must be built
+        # with the matching make_feat_fn(wire=...).
+        if wire not in ("rgb", "yuv420"):
+            raise ValueError(f"unknown wire format {wire!r}")
+        self.wire = wire
 
     def _embed_cropped(self, clips_u8) -> np.ndarray:
         """cropped uint8 clips → [B, C, T] features; normalization happens on
@@ -144,6 +153,11 @@ class FeatureExtractor:
         if 0 < n < self.test_batch_size:
             pad = np.repeat(clips_u8[-1:], self.test_batch_size - n, axis=0)
             clips_u8 = np.concatenate([clips_u8, pad], axis=0)
+        if self.wire == "yuv420":
+            from vqwild_tpu.ops.preprocess import rgb_to_yuv420_host
+
+            y, uv = rgb_to_yuv420_host(clips_u8)
+            return self.feat_fn(y, uv)[:n]
         return self.feat_fn(clips_u8)[:n]
 
     def extract_trimmed(self, records: Sequence[VideoRecord]) -> np.ndarray:
