@@ -216,3 +216,71 @@ class TestScaledResize:
         rng = np.random.default_rng(1)
         frames = rng.integers(0, 255, (2, 8, 8, 3), np.uint8)
         np.testing.assert_array_equal(scaled_resize(frames, 8), frames)
+
+
+class TestPackedYUV420Store:
+    def _mk(self, tmp_path):
+        from vqwild_tpu.data.frames import PackedYUV420FrameStore, SyntheticFrameStore
+
+        src = SyntheticFrameStore(num_frames=6, h=16, w=21)  # odd width → pad
+        PackedYUV420FrameStore.pack_from_store(
+            src, str(tmp_path), subsets=("training",),
+            video_ids={"training": ["vidA", "vidB"]},
+        )
+        return src, PackedYUV420FrameStore(str(tmp_path))
+
+    def test_pack_and_read_yuv(self, tmp_path):
+        src, store = self._mk(tmp_path)
+        assert store.has_video("training", "vidA")
+        assert not store.has_video("training", "vidZ")
+        assert store.num_frames("training", "vidB") == 6
+        assert store.real_dims("training") == (16, 21)
+        y, uv = store.read_frames_yuv("training", "vidA", np.array([1, 4]))
+        assert y.shape == (2, 16, 22)  # width padded to even
+        assert uv.shape == (2, 8, 11, 2)
+
+    def test_rgb_fallback_close_to_source(self, tmp_path):
+        src, store = self._mk(tmp_path)
+        got = store.read_frames("training", "vidA", np.array([2, 5]))
+        want = src.read_frames("training", "vidA", np.array([2, 5]))
+        assert got.shape == want.shape == (2, 16, 21, 3)
+        # 4:2:0 roundtrip on synthetic gradients: small mean error
+        assert np.abs(got.astype(int) - want.astype(int)).mean() < 4.0
+
+    def test_disk_is_half_of_rgb(self, tmp_path):
+        import os
+
+        _, store = self._mk(tmp_path)
+        ybytes = os.path.getsize(tmp_path / "training.y.bin")
+        uvbytes = os.path.getsize(tmp_path / "training.uv.bin")
+        rgb_bytes = 2 * 6 * 16 * 22 * 3  # two videos, padded dims
+        assert ybytes + uvbytes == rgb_bytes // 2
+
+    def test_read_clip_yuv_matches_rgb_reader_crop(self, tmp_path):
+        from vqwild_tpu.data.clips import (
+            batch_cropped_clips,
+            batch_cropped_clips_yuv,
+            read_clip_raw,
+            read_clip_yuv,
+        )
+        from vqwild_tpu.data.schema import VideoRecord
+        from vqwild_tpu.ops.preprocess import rgb_to_yuv420_host
+
+        _, store = self._mk(tmp_path)
+        rec = VideoRecord(
+            video_id="vidA", label="x", segment=(0.0, 2.0), border=(0.0, 2.0),
+            activitynet_subset="training", activitynet_duration=2.0,
+        )
+        c_rgb = read_clip_raw(store, rec, 4, crop_size=8)  # center crop (even)
+        c_yuv = read_clip_yuv(store, rec, 4, crop_size=8)
+        assert c_rgb.crop == c_yuv.crop
+        y, uv = batch_cropped_clips_yuv([c_yuv], 8)
+        # the RGB reader goes through the store's yuv→rgb fallback; packing
+        # its crop back to 4:2:0 must reproduce the stored planes exactly
+        # (crop offsets are even, conversions are deterministic inverses
+        # composed on the same data)
+        ey, euv = rgb_to_yuv420_host(batch_cropped_clips([c_rgb]))
+        assert y.shape == ey.shape and uv.shape == euv.shape
+        # Y plane roundtrips within rounding; chroma within subsample error
+        assert np.abs(y.astype(int) - ey.astype(int)).max() <= 2
+        assert np.abs(uv.astype(int) - euv.astype(int)).mean() < 2.0

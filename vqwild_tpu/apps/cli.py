@@ -70,7 +70,8 @@ def parse(argv=None) -> ExperimentConfig:
         choices=["100_20_80", "120_20_60", "80_20_100", "40_20_140"],
     )
     p.add_argument("--data_root", default="data")
-    p.add_argument("--frame_store", default="jpeg", choices=["jpeg", "packed", "synthetic"])
+    p.add_argument("--frame_store", default="jpeg",
+                   choices=["jpeg", "packed", "packed_yuv", "synthetic"])
     p.add_argument("--frames_dir", default="")
     p.add_argument("--semantic_json", default="wordembed_glove_d200.json")
     p.add_argument("--batch_size", type=int, default=10)

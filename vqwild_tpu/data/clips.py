@@ -75,6 +75,54 @@ def read_clip_normalized(
     return transforms.normalize_imagenet(cropped)
 
 
+@dataclasses.dataclass
+class RawClipYUV:
+    """Device-ready clip in 4:2:0 planes (even-padded); crop params are in
+    real-frame coordinates and never reach the padding."""
+
+    y: np.ndarray  # [T, hp, wp] uint8
+    uv: np.ndarray  # [T, hp/2, wp/2, 2] uint8
+    crop: transforms.CropParams
+
+
+def read_clip_yuv(
+    store: FrameStore,
+    record: VideoRecord,
+    out_frames: int,
+    fps: int = 3,
+    rng: Optional[np.random.Generator] = None,
+    crop_size: int = 112,
+    start_frame_idx: Optional[int] = None,
+    gt_frame_num: Optional[int] = None,
+) -> RawClipYUV:
+    """YUV-native read (stores with ``supports_yuv``): same sampling policy
+    and crop parameterization as read_clip_raw, zero RGB materialization."""
+    if start_frame_idx is None or gt_frame_num is None:
+        start_frame_idx, gt_frame_num = segment_to_frames(record.segment, fps)
+    subset = record.activitynet_subset
+    total = store.num_frames(subset, record.video_id)
+    idx = sample_frame_indices(start_frame_idx, gt_frame_num, out_frames, total)
+    y, uv = store.read_frames_yuv(subset, record.video_id, idx)
+    h, w = store.real_dims(subset)
+    if rng is not None:
+        crop = transforms.random_crop_params(rng, h, w, crop_size)
+    else:
+        crop = transforms.center_crop_params(h, w, crop_size)
+    return RawClipYUV(y=y, uv=uv, crop=crop)
+
+
+def batch_cropped_clips_yuv(clips, size: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Stack RawClipYUVs with crop/flip applied in the planes →
+    (y [B,T,s,s], uv [B,T,s/2,s/2,2]) uint8."""
+    from vqwild_tpu.ops.preprocess import crop_yuv420_host
+
+    ys = np.stack([c.y for c in clips], axis=0)
+    uvs = np.stack([c.uv for c in clips], axis=0)
+    offsets = np.array([[c.crop.top, c.crop.left] for c in clips], np.int32)
+    flips = np.array([c.crop.flip for c in clips], bool)
+    return crop_yuv420_host(ys, uvs, offsets, flips, size)
+
+
 def batch_raw_clips(clips) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Stack RawClips → (frames [B,T,H,W,C] u8, offsets [B,2] i32, flips [B] bool)."""
     frames = np.stack([c.frames for c in clips], axis=0)

@@ -149,6 +149,131 @@ class PackedFrameStore(FrameStore):
                 json.dump(index, f)
 
 
+class PackedYUV420FrameStore(FrameStore):
+    """Production backend: frames stored as planar YUV 4:2:0 blobs.
+
+    Half the disk of ``PackedFrameStore`` AND half the host→device transfer
+    when paired with the yuv420 wire (ops/preprocess.py) — the source JPEGs
+    are 4:2:0-subsampled, so nothing the JPEG kept is lost. Odd frame dims
+    (ActivityNet fps3 frames are 128x171) are edge-padded to even in the
+    blobs; the index records the real dims and crops never touch the pad
+    (crop offsets stay within the real frame).
+
+    Layout under ``root``:
+      {subset}.y.bin   [N, hp, wp] uint8
+      {subset}.uv.bin  [N, hp/2, wp/2, 2] uint8
+      {subset}.json    {"_meta": {h, w, hp, wp}, "videos": {vid: {offset, n}}}
+    """
+
+    supports_yuv = True
+
+    def __init__(self, root: str):
+        self.root = root
+        self._index: Dict[str, dict] = {}
+        self._meta: Dict[str, dict] = {}
+        self._y: Dict[str, np.memmap] = {}
+        self._uv: Dict[str, np.memmap] = {}
+
+    def _load_subset(self, subset: str):
+        if subset in self._index:
+            return
+        with open(os.path.join(self.root, subset + ".json")) as f:
+            doc = json.load(f)
+        meta = doc["_meta"]
+        self._meta[subset] = meta
+        self._index[subset] = doc["videos"]
+        hp, wp = meta["hp"], meta["wp"]
+        self._y[subset] = np.memmap(
+            os.path.join(self.root, subset + ".y.bin"), dtype=np.uint8, mode="r"
+        ).reshape(-1, hp, wp)
+        self._uv[subset] = np.memmap(
+            os.path.join(self.root, subset + ".uv.bin"), dtype=np.uint8, mode="r"
+        ).reshape(-1, hp // 2, wp // 2, 2)
+
+    def has_video(self, subset, video_id):
+        try:
+            self._load_subset(subset)
+        except FileNotFoundError:
+            return False
+        return video_id in self._index[subset]
+
+    def num_frames(self, subset, video_id):
+        self._load_subset(subset)
+        return int(self._index[subset][video_id]["n"])
+
+    def real_dims(self, subset: str):
+        """(h, w) of the original frames (pre-padding)."""
+        self._load_subset(subset)
+        m = self._meta[subset]
+        return m["h"], m["w"]
+
+    def read_frames_yuv(self, subset, video_id, indices):
+        """(Y [n, hp, wp], UV [n, hp/2, wp/2, 2]) uint8 — the zero-copy
+        production read; planes include the even-padding."""
+        self._load_subset(subset)
+        rec = self._index[subset][video_id]
+        idx = np.asarray(indices).reshape(-1).astype(np.int64) - 1 + rec["offset"]
+        return np.asarray(self._y[subset][idx]), np.asarray(self._uv[subset][idx])
+
+    def read_frames(self, subset, video_id, indices):
+        """RGB-interface fallback (converts on host; prefer read_frames_yuv
+        with the yuv420 wire)."""
+        from vqwild_tpu.ops.preprocess import yuv420_to_rgb_host
+
+        y, uv = self.read_frames_yuv(subset, video_id, indices)
+        h, w = self.real_dims(subset)
+        return yuv420_to_rgb_host(y, uv)[:, :h, :w, :]
+
+    @staticmethod
+    def pack_from_store(
+        src: FrameStore,
+        out_root: str,
+        subsets: Sequence[str] = ("training", "validation"),
+        video_ids: Optional[Dict[str, Sequence[str]]] = None,
+        jpeg_root: Optional[str] = None,
+    ):
+        """Offline converter: any FrameStore → YUV420 blobs."""
+        from vqwild_tpu.ops.preprocess import rgb_to_yuv420_host
+
+        os.makedirs(out_root, exist_ok=True)
+        for subset in subsets:
+            if video_ids:
+                vids = list(video_ids[subset])
+            elif jpeg_root is not None:
+                vids = sorted(os.listdir(os.path.join(jpeg_root, subset)))
+            else:
+                raise ValueError("need video_ids or jpeg_root to enumerate videos")
+            index = {}
+            meta = None
+            offset = 0
+            with open(os.path.join(out_root, subset + ".y.bin"), "wb") as yb, open(
+                os.path.join(out_root, subset + ".uv.bin"), "wb"
+            ) as uvb:
+                for vid in vids:
+                    n = src.num_frames(subset, vid)
+                    frames = src.read_frames(subset, vid, np.arange(1, n + 1))
+                    h, w = frames.shape[1], frames.shape[2]
+                    if h % 2:
+                        frames = np.concatenate([frames, frames[:, -1:]], axis=1)
+                    if w % 2:
+                        frames = np.concatenate([frames, frames[:, :, -1:]], axis=2)
+                    if meta is None:
+                        meta = {"h": h, "w": w,
+                                "hp": frames.shape[1], "wp": frames.shape[2]}
+                    elif (h, w) != (meta["h"], meta["w"]):
+                        raise ValueError(
+                            f"mixed frame dims in {subset}: {(h, w)} vs "
+                            f"{(meta['h'], meta['w'])}"
+                        )
+                    y, uv = rgb_to_yuv420_host(frames)
+                    yb.write(y.tobytes())
+                    uvb.write(uv.tobytes())
+                    index[vid] = {"offset": offset, "n": n}
+                    offset += n
+            with open(os.path.join(out_root, subset + ".json"), "w") as f:
+                json.dump({"_meta": meta or {}, "videos": index}, f)
+
+
 class SyntheticFrameStore(FrameStore):
     """Deterministic fake frames: every video exists with ``n`` frames."""
 
@@ -178,6 +303,8 @@ def make_frame_store(kind: str, frames_dir: str) -> FrameStore:
         return JpegDirFrameStore(frames_dir)
     if kind == "packed":
         return PackedFrameStore(frames_dir)
+    if kind == "packed_yuv":
+        return PackedYUV420FrameStore(frames_dir)
     if kind == "synthetic":
         return SyntheticFrameStore()
     raise ValueError(f"unknown frame store kind: {kind!r}")

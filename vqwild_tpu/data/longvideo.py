@@ -69,6 +69,33 @@ def read_chunk_batch(
     return batch_cropped_clips(clips)
 
 
+def read_chunk_batch_yuv(
+    refs: Sequence[ChunkRef],
+    gallery: Sequence[VideoRecord],
+    store: FrameStore,
+    test_frames: int,
+    crop_size: int = 112,
+    fps: int = 3,
+):
+    """YUV-native chunk batch → (y [N,T,s,s], uv [N,T,s/2,s/2,2]) uint8."""
+    from vqwild_tpu.data.clips import batch_cropped_clips_yuv, read_clip_yuv
+
+    clips = [
+        read_clip_yuv(
+            store,
+            gallery[r.video_idx],
+            test_frames,
+            fps=fps,
+            rng=None,
+            crop_size=crop_size,
+            start_frame_idx=r.start_frame_idx,
+            gt_frame_num=r.gt_frame_num,
+        )
+        for r in refs
+    ]
+    return batch_cropped_clips_yuv(clips, crop_size)
+
+
 def concat_video_tapes(
     chunk_feats: np.ndarray, refs: Sequence[ChunkRef], num_videos: int
 ) -> List[np.ndarray]:

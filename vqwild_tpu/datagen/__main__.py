@@ -46,6 +46,8 @@ def main(argv=None):
     s4 = sub.add_parser("pack")
     s4.add_argument("--jpeg_root", required=True)
     s4.add_argument("--out_root", required=True)
+    s4.add_argument("--format", choices=["rgb", "yuv420"], default="rgb",
+                    help="yuv420: half the disk AND the host→device bytes")
 
     args = p.parse_args(argv)
 
@@ -91,10 +93,21 @@ def main(argv=None):
         failed = [r for r in results if not r[1]]
         print(f"done; {len(failed)} failures")
     elif args.cmd == "pack":
-        from vqwild_tpu.data.frames import PackedFrameStore
+        from vqwild_tpu.data.frames import (
+            JpegDirFrameStore,
+            PackedFrameStore,
+            PackedYUV420FrameStore,
+        )
 
-        PackedFrameStore.pack_from_jpeg(args.jpeg_root, args.out_root)
-        print(f"packed → {args.out_root}")
+        if args.format == "yuv420":
+            PackedYUV420FrameStore.pack_from_store(
+                JpegDirFrameStore(args.jpeg_root),
+                args.out_root,
+                jpeg_root=args.jpeg_root,
+            )
+        else:
+            PackedFrameStore.pack_from_jpeg(args.jpeg_root, args.out_root)
+        print(f"packed ({args.format}) → {args.out_root}")
 
 
 if __name__ == "__main__":

@@ -117,6 +117,22 @@ def rgb_to_yuv420_host(rgb_u8: np.ndarray):
     return y, uv
 
 
+def yuv420_to_rgb_host(y_u8: np.ndarray, uv_u8: np.ndarray) -> np.ndarray:
+    """Numpy mirror of the device conversion: (Y, UV) → RGB uint8.
+
+    Nearest-neighbor chroma upsample + BT.601 full-range. Used by the packed
+    YUV store's RGB-interface fallback and parity tests."""
+    y = y_u8.astype(np.float32)
+    uv = uv_u8.astype(np.float32) - 128.0
+    uv = np.repeat(np.repeat(uv, 2, axis=-3), 2, axis=-2)
+    cb, cr = uv[..., 0], uv[..., 1]
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("out_dtype",))
 def normalize_clips_yuv420(y_u8, uv_u8, out_dtype=jnp.float32):
     """(Y [...,H,W], UV [...,H/2,W/2,2]) uint8 → [...,H,W,3] ImageNet-normalized.

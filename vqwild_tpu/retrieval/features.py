@@ -138,27 +138,42 @@ class FeatureExtractor:
         self.max_batches = max_batches
         # wire="yuv420": ship 4:2:0 planes instead of RGB (half the
         # host→device bytes; see ops/preprocess.py). feat_fn must be built
-        # with the matching make_feat_fn(wire=...).
+        # with the matching make_feat_fn(wire=...). Stores that hold YUV
+        # natively (PackedYUV420FrameStore) skip the host pack entirely.
         if wire not in ("rgb", "yuv420"):
             raise ValueError(f"unknown wire format {wire!r}")
         self.wire = wire
+        self.yuv_native = (
+            wire == "yuv420" and not fake and getattr(store, "supports_yuv", False)
+        )
+
+    def _pad_rows(self, *arrays):
+        """Edge-pad row counts to test_batch_size so the trunk compiles for
+        exactly one batch shape; returns (padded arrays, real n)."""
+        n = arrays[0].shape[0]
+        if not 0 < n < self.test_batch_size:
+            return arrays, n
+        k = self.test_batch_size - n
+        return tuple(
+            np.concatenate([a, np.repeat(a[-1:], k, axis=0)], axis=0)
+            for a in arrays
+        ), n
 
     def _embed_cropped(self, clips_u8) -> np.ndarray:
         """cropped uint8 clips → [B, C, T] features; normalization happens on
-        device inside feat_fn's jit (feat_fn accepts uint8).
-
-        Partial (final) batches are edge-padded to test_batch_size so the
-        trunk compiles for exactly one batch shape."""
-        n = clips_u8.shape[0]
-        if 0 < n < self.test_batch_size:
-            pad = np.repeat(clips_u8[-1:], self.test_batch_size - n, axis=0)
-            clips_u8 = np.concatenate([clips_u8, pad], axis=0)
+        device inside feat_fn's jit (feat_fn accepts uint8)."""
+        (clips_u8,), n = self._pad_rows(clips_u8)
         if self.wire == "yuv420":
             from vqwild_tpu.ops.preprocess import rgb_to_yuv420_host
 
             y, uv = rgb_to_yuv420_host(clips_u8)
             return self.feat_fn(y, uv)[:n]
         return self.feat_fn(clips_u8)[:n]
+
+    def _embed_planes(self, y_u8, uv_u8) -> np.ndarray:
+        """cropped 4:2:0 planes → [B, C, T] features (yuv-native stores)."""
+        (y_u8, uv_u8), n = self._pad_rows(y_u8, uv_u8)
+        return self.feat_fn(y_u8, uv_u8)[:n]
 
     def extract_trimmed(self, records: Sequence[VideoRecord]) -> np.ndarray:
         """[N', C] clip features (N' < N under a debug cap): per-frame
@@ -171,6 +186,26 @@ class FeatureExtractor:
             if self.fake:
                 f = self.feat_fn(
                     np.zeros((len(batch), self.test_frames, 1, 1, 3), np.float32)
+                )
+            elif self.yuv_native:
+                from vqwild_tpu.data.clips import (
+                    batch_cropped_clips_yuv,
+                    read_clip_yuv,
+                )
+
+                clips = [
+                    read_clip_yuv(
+                        self.store,
+                        rec,
+                        self.test_frames,
+                        fps=self.fps,
+                        rng=None,
+                        crop_size=self.input_size,
+                    )
+                    for rec in batch
+                ]
+                f = self._embed_planes(
+                    *batch_cropped_clips_yuv(clips, self.input_size)
                 )
             else:
                 clips = [
@@ -211,6 +246,19 @@ class FeatureExtractor:
             if self.fake:
                 f = self.feat_fn(
                     np.zeros((len(ref_batch), self.test_frames, 1, 1, 3), np.float32)
+                )
+            elif self.yuv_native:
+                from vqwild_tpu.data.longvideo import read_chunk_batch_yuv
+
+                f = self._embed_planes(
+                    *read_chunk_batch_yuv(
+                        ref_batch,
+                        gallery,
+                        self.store,
+                        self.test_frames,
+                        self.input_size,
+                        self.fps,
+                    )
                 )
             else:
                 f = self._embed_cropped(
