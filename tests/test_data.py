@@ -218,11 +218,34 @@ class TestScaledResize:
         np.testing.assert_array_equal(scaled_resize(frames, 8), frames)
 
 
+class _SmoothStore:
+    """Deterministic chroma-smooth frames (no uint8 wrap discontinuities —
+    SyntheticFrameStore's hash-seeded content wraps mod 256, which makes the
+    lossy 4:2:0 roundtrip tolerance PYTHONHASHSEED-dependent)."""
+
+    def __init__(self, num_frames=6, h=16, w=21):
+        self.n, self.h, self.w = num_frames, h, w
+
+    def has_video(self, subset, video_id):
+        return True
+
+    def num_frames(self, subset, video_id):
+        return self.n
+
+    def read_frames(self, subset, video_id, indices):
+        idx = np.asarray(indices).reshape(-1).astype(np.int64)
+        gy, gx = np.mgrid[0 : self.h, 0 : self.w].astype(np.float32)
+        base = 60.0 + 10.0 * (idx[:, None, None, None] % 7)
+        plane = (gy * 3 + gx * 2)[None, :, :, None]
+        chan = np.arange(3, dtype=np.float32) * 15.0
+        return np.clip(base + plane + chan, 0, 255).astype(np.uint8)
+
+
 class TestPackedYUV420Store:
     def _mk(self, tmp_path):
-        from vqwild_tpu.data.frames import PackedYUV420FrameStore, SyntheticFrameStore
+        from vqwild_tpu.data.frames import PackedYUV420FrameStore
 
-        src = SyntheticFrameStore(num_frames=6, h=16, w=21)  # odd width → pad
+        src = _SmoothStore(num_frames=6, h=16, w=21)  # odd width → pad
         PackedYUV420FrameStore.pack_from_store(
             src, str(tmp_path), subsets=("training",),
             video_ids={"training": ["vidA", "vidB"]},

@@ -6,10 +6,12 @@ The reference reads per-frame JPEGs from
 its known throughput bottleneck (96 JPEG decodes per triplet). We keep a
 parity JPEG backend, and add:
 
-* ``PackedFrameStore`` — frames packed as raw uint8 into one flat file per
-  subset with a JSON index; reads are zero-decode ``np.memmap`` gathers. This
-  is the production TPU-host feeding path (≥10× input throughput is won here,
-  not in the convs).
+* ``PackedFrameStore`` — frames packed as raw uint8 RGB into one flat file
+  per subset with a JSON index; reads are zero-decode ``np.memmap`` gathers
+  (≥10× input throughput is won here, not in the convs).
+* ``PackedYUV420FrameStore`` — the production TPU-host feeding path: the
+  same idea in planar 4:2:0 (half the disk), feeding the yuv420 wire format
+  with zero per-batch conversion.
 * ``SyntheticFrameStore`` — deterministic pseudo-frames keyed by
   (video_id, frame_idx); lets every pipeline stage run without ActivityNet on
   disk (generalizes the reference's --memory_leak_debug fake backend).

@@ -6,9 +6,10 @@ forward → per-frame embeddings L2-normalized over the channel dim → numpy
 dataloader_baseline.py:721-724) that exercises the whole retrieval stack
 without a model.
 
-``FeatureExtractor`` handles batching, the device-side fused preprocess
-(crop/flip/normalize on TPU), long-video chunk tapes, and the on-disk feature
-cache (the reference's feat_cache.pkl, :1450-1456 — ours is .npz).
+``FeatureExtractor`` handles batching, the wire format (cropped uint8 RGB or
+4:2:0 planes — ops/preprocess.py), long-video chunk tapes, and the on-disk
+feature cache (the reference's feat_cache.pkl, :1450-1456 — ours is a
+directory of memmap-able .npy files).
 """
 
 from __future__ import annotations
