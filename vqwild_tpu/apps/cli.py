@@ -221,6 +221,37 @@ def load_variables(test_load: str, method: str, model, params, state_vars):
     return torch_import.merge_variables(init_vars, imported)
 
 
+def _ckpt_cache_tag(test_load: str, fake: bool) -> str:
+    """Identity tag of the model whose features are being cached.
+
+    The reference forces cache reads in --evaluate mode (main.py:552) and a
+    shared per-run-dir pickle means a different --test_load silently reports
+    the previous checkpoint's metrics. We keep the forced-read semantics but
+    key the cache directory by the loaded checkpoint's path + mtime + size,
+    so stale features can never be attributed to a different model.
+    """
+    import hashlib
+
+    if fake:
+        return "fake"
+    if not test_load:
+        return "init"
+    p = os.path.abspath(test_load)
+    h = hashlib.sha256(p.encode())
+    try:
+        if os.path.isdir(p):
+            for root, _, files in sorted(os.walk(p)):
+                for fn in sorted(files):
+                    st = os.stat(os.path.join(root, fn))
+                    h.update(f"{fn}:{st.st_mtime_ns}:{st.st_size}".encode())
+        else:
+            st = os.stat(p)
+            h.update(f"{st.st_mtime_ns}:{st.st_size}".encode())
+    except OSError:
+        pass
+    return h.hexdigest()[:10]
+
+
 def run_evaluation(cfg, extra, run_dir: RunDir):
     import jax
 
@@ -256,7 +287,11 @@ def run_evaluation(cfg, extra, run_dir: RunDir):
         input_size=cfg.data.input_size,
         fps=cfg.data.fps,
         fake=cfg.eval.fake_features,
-        cache_dir=os.path.join(run_dir.path, "cache"),
+        cache_dir=os.path.join(
+            run_dir.path,
+            "cache-"
+            + _ckpt_cache_tag(extra.get("test_load", ""), cfg.eval.fake_features),
+        ),
         max_batches=8 if cfg.train.debug else None,
         wire="rgb" if cfg.eval.fake_features else cfg.eval.wire,
     )

@@ -136,15 +136,25 @@ class PackedFrameStore(FrameStore):
             index = {}
             offset = 0
             with open(os.path.join(out_root, subset + ".bin"), "wb") as blob:
+                dims = None
                 for vid in vids:
                     n = src.num_frames(subset, vid)
                     frames = src.read_frames(subset, vid, np.arange(1, n + 1))
+                    hw = (int(frames.shape[1]), int(frames.shape[2]))
+                    # _load_subset reshapes the whole blob with one (h, w);
+                    # mixed dims would silently corrupt every later frame.
+                    if dims is None:
+                        dims = hw
+                    elif hw != dims:
+                        raise ValueError(
+                            f"mixed frame dims in {subset}: {hw} vs {dims}"
+                        )
                     blob.write(frames.tobytes())
                     index[vid] = {
                         "offset": offset,
                         "n": n,
-                        "h": int(frames.shape[1]),
-                        "w": int(frames.shape[2]),
+                        "h": hw[0],
+                        "w": hw[1],
                     }
                     offset += n
             with open(os.path.join(out_root, subset + ".json"), "w") as f:
@@ -290,8 +300,14 @@ class SyntheticFrameStore(FrameStore):
         return self.n
 
     def read_frames(self, subset, video_id, indices):
+        import zlib
+
         idx = np.asarray(indices).reshape(-1).astype(np.int64)
-        seed = (hash(video_id) & 0xFFFF) ^ (hash(subset) & 0xFF)
+        # crc32, not builtin hash(): stable across processes/PYTHONHASHSEED,
+        # so cached synthetic features reproduce in any interpreter.
+        seed = (zlib.crc32(video_id.encode()) & 0xFFFF) ^ (
+            zlib.crc32(subset.encode()) & 0xFF
+        )
         base = ((idx[:, None, None, None] * 37 + seed) % 251).astype(np.uint8)
         grad = (
             np.arange(self.w, dtype=np.uint8)[None, None, :, None]
