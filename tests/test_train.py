@@ -224,3 +224,112 @@ class TestAccumGradSchedule:
         assert before and after
         # adam-normalized step magnitude scales with lr -> after ~0.1x before
         assert np.median(after) < 0.2 * np.median(before)
+
+
+class TestYUVTrainWire:
+    """The production train wire: cropped 4:2:0 planes through the jitted
+    step (train/step.py wire="yuv420"), matching the eval wire semantics."""
+
+    def test_yuv_step_matches_rgb_step(self):
+        from vqwild_tpu.ops.preprocess import rgb_to_yuv420_host
+
+        model, state, step_rgb = small_setup("va")
+        from vqwild_tpu.train.step import make_train_step, make_optimizer
+
+        tx = make_optimizer(1e-3, 1e-5, steps_per_epoch=4, lr_decay_epoch=9)
+        step_yuv = make_train_step(model, tx, donate=False, wire="yuv420")
+        rng = np.random.default_rng(7)
+        # chroma-smooth in-gamut content so 4:2:0 is near-lossless
+        small = rng.integers(30, 220, (6, 2, 16, 16, 3), dtype=np.uint8)
+        clips = np.repeat(np.repeat(small, 2, axis=2), 2, axis=3)
+        labels = rng.integers(0, 8, 6).astype(np.int32)
+        y, uv = rgb_to_yuv420_host(clips)
+        _, l_rgb = step_rgb(state, clips, labels)
+        _, l_yuv = step_yuv(state, y, uv, labels)
+        # same batch, same rngs — losses agree to 4:2:0 quantization noise
+        assert abs(float(l_rgb["loss"]) - float(l_yuv["loss"])) < 0.05
+        assert np.isfinite(float(l_yuv["loss"]))
+
+    def test_triplet_dataset_yuv_wire(self, tiny_arv):
+        db = load_trimmed_db(tiny_arv["db_path"])
+        ds = TripletDataset(
+            db,
+            tiny_arv["spec"],
+            SyntheticFrameStore(h=48, w=56),
+            novel_num=5,
+            train_frames=2,
+            crop_size=32,
+            nclass=tiny_arv["nclass"],
+            wire="yuv420",
+        )
+        batch = ds.build_batch(np.random.default_rng(0), 3)
+        assert batch.clips is None
+        assert batch.y.shape == (9, 2, 32, 32) and batch.y.dtype == np.uint8
+        assert batch.uv.shape == (9, 2, 16, 16, 2)
+        assert batch.arrays == (batch.y, batch.uv)
+        assert batch.labels.shape == (9,)
+
+    def test_loop_end_to_end_yuv(self, tiny_arv, tmp_path):
+        from vqwild_tpu.train.step import make_train_step, make_optimizer
+
+        db = load_trimmed_db(tiny_arv["db_path"])
+        ds = TripletDataset(
+            db,
+            tiny_arv["spec"],
+            SyntheticFrameStore(h=48, w=56),
+            novel_num=5,
+            train_frames=2,
+            crop_size=32,
+            nclass=tiny_arv["nclass"],
+            wire="yuv420",
+        )
+        loader = PrefetchLoader(ds, batch_size=2, steps_per_epoch=2, workers=1)
+        model, state, _ = small_setup("baseline")
+        tx = make_optimizer(1e-3, 1e-5, steps_per_epoch=2, lr_decay_epoch=9)
+        step = make_train_step(model, tx, donate=False, wire="yuv420")
+        loop = TrainLoop(step, loader, epochs=1, print_freq=1000)
+        result = loop.run(state)
+        assert int(result.state.step) == 2
+
+    def test_padded_masked_step_matches_unpadded(self):
+        """Row-padding + 0-weights must not change losses or the EMA memory
+        (train/loop.py pads to the mesh multiple; BN batch stats are the
+        documented exception)."""
+        model, state, step = small_setup("va")
+        rng = np.random.default_rng(9)
+        clips, labels = rand_batch(rng, b=6)
+        _, l_ref = step(state, clips, labels)
+        # pad 6 -> 8 rows, weights mask the tail
+        pad_clips = np.concatenate([clips, clips[-1:].repeat(2, axis=0)])
+        pad_labels = np.concatenate([labels, labels[-1:].repeat(2)])
+        w = np.array([1, 1, 1, 1, 1, 1, 0, 0], np.float32)
+        s_pad, l_pad = step(state, pad_clips, pad_labels, weights=w)
+        # reg/nled CE losses are identical (BN stats differ slightly -> tol)
+        assert abs(float(l_ref["reg_loss"]) - float(l_pad["reg_loss"])) < 0.05
+        assert abs(float(l_ref["loss"]) - float(l_pad["loss"])) < 0.1
+        # EMA memory ignored the padded rows: rows for labels only in the
+        # pad would stay zero; count of updated rows matches the real batch
+        mem = np.asarray(s_pad.memory["visual_memory"])
+        assert (np.linalg.norm(mem, axis=1) > 0).sum() == len(set(labels.tolist()))
+
+    def test_loop_pads_nondivisible_batch_under_mesh(self, tiny_arv):
+        from vqwild_tpu.parallel.mesh import make_mesh
+        from vqwild_tpu.train.step import make_train_step, make_optimizer
+
+        db = load_trimmed_db(tiny_arv["db_path"])
+        ds = TripletDataset(
+            db, tiny_arv["spec"], SyntheticFrameStore(h=48, w=56),
+            novel_num=5, train_frames=2, crop_size=32,
+            nclass=tiny_arv["nclass"], wire="yuv420",
+        )
+        # 2 triplets -> 6 rows on an 8-device mesh: requires padding
+        loader = PrefetchLoader(ds, batch_size=2, steps_per_epoch=2, workers=1)
+        model, state, _ = small_setup("va")
+        tx = make_optimizer(1e-3, 1e-5, steps_per_epoch=2, lr_decay_epoch=9)
+        step = make_train_step(model, tx, donate=False, wire="yuv420")
+        loop = TrainLoop(step, loader, epochs=1, mesh=make_mesh(), print_freq=1000)
+        result = loop.run(state)
+        assert int(result.state.step) == 2
+        mem = np.asarray(result.state.memory["visual_memory"])
+        # exactly the sampled labels got EMA updates, not the padded tail's dup
+        assert 0 < (np.linalg.norm(mem, axis=1) > 0).sum() <= 12

@@ -380,6 +380,7 @@ def run_training(cfg, extra, run_dir: RunDir):
         crop_size=cfg.data.input_size,
         fps=cfg.data.fps,
         nclass=cfg.data.nclass,
+        wire=cfg.eval.wire,
     )
     steps_per_epoch = max(1, len(dataset) // cfg.data.batch_size)
     if cfg.train.debug:
@@ -415,6 +416,7 @@ def run_training(cfg, extra, run_dir: RunDir):
         semantic_memory=sem,
         ranking_weight=extra.get("ranking_weight", 0.0),
         triplet_margin=extra.get("triplet_margin", 1.0),
+        wire=cfg.eval.wire,
     )
     mesh = make_mesh() if len(jax.devices()) > 1 else None
 

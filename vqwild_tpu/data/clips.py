@@ -83,6 +83,7 @@ class RawClipYUV:
     y: np.ndarray  # [T, hp, wp] uint8
     uv: np.ndarray  # [T, hp/2, wp/2, 2] uint8
     crop: transforms.CropParams
+    label: int = -1
 
 
 def read_clip_yuv(

@@ -27,7 +27,13 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 from vqwild_tpu.core.logging import get_logger
-from vqwild_tpu.data.clips import RawClip, batch_cropped_clips, read_clip_raw
+from vqwild_tpu.data.clips import (
+    RawClip,
+    batch_cropped_clips,
+    batch_cropped_clips_yuv,
+    read_clip_raw,
+    read_clip_yuv,
+)
 from vqwild_tpu.data.frames import FrameStore
 from vqwild_tpu.data.labels import SplitSpec
 from vqwild_tpu.data.schema import TrimmedDB, VideoRecord
@@ -37,8 +43,15 @@ log = get_logger("data.triplets")
 
 @dataclasses.dataclass
 class TripletBatch:
-    clips: np.ndarray  # [B*3, T, s, s, C] uint8, crop/flip applied on host
     labels: np.ndarray  # [B*3] int32 class indices (anchor,pos,neg per triplet)
+    clips: Optional[np.ndarray] = None  # rgb wire: [B*3,T,s,s,C] u8 host-cropped
+    y: Optional[np.ndarray] = None  # yuv420 wire: [B*3,T,s,s] u8
+    uv: Optional[np.ndarray] = None  # yuv420 wire: [B*3,T,s/2,s/2,2] u8
+
+    @property
+    def arrays(self):
+        """The wire payload, in train-step argument order."""
+        return (self.clips,) if self.clips is not None else (self.y, self.uv)
 
 
 class TripletDataset:
@@ -52,7 +65,18 @@ class TripletDataset:
         crop_size: int = 112,
         fps: int = 3,
         nclass: int = 200,
+        wire: str = "rgb",
     ):
+        """``wire="yuv420"`` emits 4:2:0 plane batches (half the host→device
+        bytes — the production train wire, matching the eval wire in
+        retrieval/features.py). YUV-native stores feed planes zero-conversion;
+        RGB stores convert once per cropped batch on host."""
+        if wire not in ("rgb", "yuv420"):
+            raise ValueError(f"unknown wire format {wire!r}")
+        if wire == "yuv420" and crop_size % 2:
+            raise ValueError("yuv420 wire needs an even crop size")
+        self.wire = wire
+        self.yuv_native = wire == "yuv420" and getattr(store, "supports_yuv", False)
         self.store = store
         self.train_frames = train_frames
         self.crop_size = crop_size
@@ -102,12 +126,13 @@ class TripletDataset:
         neg_rec = neg_pool[int(rng.integers(len(neg_pool)))]
 
         clips = []
+        reader = read_clip_yuv if self.yuv_native else read_clip_raw
         for rec, cls in (
             (anchor_rec, anchor_cls),
             (pos_rec, anchor_cls),
             (neg_rec, negative_cls),
         ):
-            clip = read_clip_raw(
+            clip = reader(
                 self.store,
                 rec,
                 self.train_frames,
@@ -124,7 +149,16 @@ class TripletDataset:
         for _ in range(batch_size):
             clips.extend(self.sample_triplet(rng))
         labels = np.array([c.label for c in clips], dtype=np.int32)
-        return TripletBatch(clips=batch_cropped_clips(clips), labels=labels)
+        if self.yuv_native:
+            y, uv = batch_cropped_clips_yuv(clips, self.crop_size)
+            return TripletBatch(labels=labels, y=y, uv=uv)
+        cropped = batch_cropped_clips(clips)
+        if self.wire == "yuv420":
+            from vqwild_tpu.ops.preprocess import rgb_to_yuv420_host
+
+            y, uv = rgb_to_yuv420_host(cropped)
+            return TripletBatch(labels=labels, y=y, uv=uv)
+        return TripletBatch(labels=labels, clips=cropped)
 
 
 class PrefetchLoader:

@@ -88,7 +88,11 @@ class ARVModel(nn.Module):
         semantic_memory=None,
         train: bool = False,
         update_memory: bool = True,
+        sample_weights=None,
     ) -> ModelOutput:
+        """``sample_weights`` (0/1 per row, optional) marks padded rows whose
+        EMA memory updates must be skipped (mesh row-padding; losses are
+        weighted in train/step.py)."""
         assert self.method in METHODS, self.method
         frame_embed = ResNet18F2F(
             bn_eps=self.bn_eps,
@@ -120,7 +124,8 @@ class ARVModel(nn.Module):
             norm_embed, visual_memory.value, self.temperature
         )
         new_memory = heads.ema_memory_update(
-            visual_memory.value, norm_embed, targets, self.moving_average
+            visual_memory.value, norm_embed, targets, self.moving_average,
+            weights=sample_weights,
         )
         if update_memory and not self.is_initializing():
             visual_memory.value = new_memory

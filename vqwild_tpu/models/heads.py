@@ -72,19 +72,24 @@ def memory_distance_logits(embed, memory, temperature: float):
     return -pairwise_l2(embed, memory) / temperature
 
 
-def ema_memory_update(memory, embeds, targets, mv: float):
+def ema_memory_update(memory, embeds, targets, mv: float, weights=None):
     """Sequential EMA visual-memory update (resnet18_va.py:186-192).
 
     mem[y_i] = normalize(mv·mem[y_i] + (1−mv)·e_i), applied in batch order so
     repeated labels compound exactly as upstream. Gradients do not flow
     (upstream wraps in no_grad; callers stop_gradient the inputs).
+
+    ``weights`` (0/1 per row) skips padded rows — used when batches are
+    row-padded to a device-mesh multiple (train/step.py).
     """
     embeds = jax.lax.stop_gradient(embeds)
 
     def body(i, mem):
         y = targets[i]
-        updated = mv * mem[y] + (1.0 - mv) * embeds[i]
-        return mem.at[y].set(l2_normalize(updated, axis=-1))
+        updated = l2_normalize(mv * mem[y] + (1.0 - mv) * embeds[i], axis=-1)
+        if weights is not None:
+            updated = jnp.where(weights[i] > 0, updated, mem[y])
+        return mem.at[y].set(updated)
 
     return jax.lax.fori_loop(0, embeds.shape[0], body, memory)
 

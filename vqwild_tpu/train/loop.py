@@ -17,7 +17,7 @@ import numpy as np
 
 from vqwild_tpu.core.logging import get_logger
 from vqwild_tpu.core.meters import AverageMeter, Timer
-from vqwild_tpu.parallel.mesh import shard_batch_arrays
+from vqwild_tpu.parallel.mesh import pad_to_multiple, shard_batch_arrays
 from vqwild_tpu.train.checkpoint import CheckpointManager
 from vqwild_tpu.train.step import TrainState
 
@@ -58,10 +58,28 @@ class TrainLoop:
         self.start_epoch = start_epoch
 
     def _put(self, batch):
-        arrays = (batch.clips, batch.labels)
-        if self.mesh is not None:
-            return shard_batch_arrays(self.mesh, *arrays)
-        return arrays
+        """→ (wire arrays..., labels, weights-or-None), mesh-sharded.
+
+        Under a mesh, rows pad (edge-repeat) to the data-axis multiple —
+        3·batch_size rarely divides the chip count (the reference default
+        batch of 10 triplets = 30 rows on 8 chips) — and a 0/1 weight row
+        vector masks the padding out of losses and memory updates."""
+        arrays = batch.arrays + (batch.labels,)
+        if self.mesh is None:
+            return arrays + (None,)
+        shards = self.mesh.shape["data"]
+        n = batch.labels.shape[0]
+        if n % shards:
+            padded = []
+            for a in arrays:
+                p, _ = pad_to_multiple(a, shards)
+                padded.append(p)
+            arrays = tuple(padded)
+            weights = np.zeros(arrays[-1].shape[0], np.float32)
+            weights[:n] = 1.0
+        else:
+            weights = np.ones(n, np.float32)
+        return shard_batch_arrays(self.mesh, *arrays, weights)
 
     def run(self, state: TrainState) -> LoopResult:
         best_score, best_epoch = -1.0, -1
@@ -84,11 +102,15 @@ class TrainLoop:
 
             pending = []  # device-scalar losses; synced only at print time so
             # per-step readback never serializes the async dispatch queue
-            for i, (clips, labels) in enumerate(batches()):
+            for i, arrays in enumerate(batches()):
                 if self.max_steps is not None and i >= self.max_steps:
                     break
                 data_time.update(timer.tick())
-                state, losses = self.step_fn(state, clips, labels)
+                *arrs, weights = arrays
+                if weights is None:
+                    state, losses = self.step_fn(state, *arrs)
+                else:
+                    state, losses = self.step_fn(state, *arrs, weights=weights)
                 nsteps += 1
                 pending.append(losses)
                 timer.tick()

@@ -93,18 +93,40 @@ def make_train_step(
     donate: bool = True,
     ranking_weight: float = 0.0,
     triplet_margin: float = 1.0,
+    wire: str = "rgb",
 ) -> Callable:
     """ranking_weight > 0 adds a triplet ranking loss over the loader's
     (anchor, positive, negative) batch structure — the structure the reference
     builds but never exploits (its train_ranking, main.py:263-329, is dead
-    code identical to train_va). Strictly additive capability."""
+    code identical to train_va). Strictly additive capability.
+
+    ``wire="yuv420"`` makes the step consume cropped 4:2:0 planes —
+    step(state, y_u8, uv_u8, labels) — with the chroma upsample + BT.601 +
+    normalize fused into the jit (ops/preprocess.normalize_clips_yuv420),
+    halving the host→device transfer like the eval wire."""
+    if wire not in ("rgb", "yuv420"):
+        raise ValueError(f"unknown wire format {wire!r}")
     method = model.method
     ce = optax.softmax_cross_entropy_with_integer_labels
 
-    def step_fn(state: TrainState, clips_u8, labels):
-        """clips_u8 uint8 [B,T,s,s,C] (cropped); labels int32 [B]."""
+    def step_fn(state: TrainState, *wire_and_labels, weights=None):
+        """rgb wire: (clips_u8 [B,T,s,s,C], labels [B]);
+        yuv420 wire: (y_u8 [B,T,s,s], uv_u8 [B,T,s/2,s/2,2], labels [B]).
+
+        ``weights`` (0/1 per row, optional): rows padded to a mesh multiple
+        (train/loop.py) carry weight 0 — losses become weighted means and the
+        EMA memory skips them. Trunk/non-local BatchNorm batch statistics do
+        see padded rows (documented divergence: the tiny duplicate-row bias is
+        the analogue of upstream DataParallel's per-replica BN stats)."""
+        *wire_arrays, labels = wire_and_labels
         rng, new_rng = jax.random.split(state.dropout_rng)
-        clips = normalize_clips(clips_u8, out_dtype=model.dtype)
+        if wire == "yuv420":
+            from vqwild_tpu.ops.preprocess import normalize_clips_yuv420
+
+            clips = normalize_clips_yuv420(*wire_arrays, out_dtype=model.dtype)
+        else:
+            (clips_u8,) = wire_arrays
+            clips = normalize_clips(clips_u8, out_dtype=model.dtype)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -120,20 +142,27 @@ def make_train_step(
                 train=True,
                 mutable=mutable,
                 rngs={"dropout": rng},
+                sample_weights=weights,
             )
+
+            def wmean(per_row):
+                if weights is None:
+                    return per_row.mean()
+                return (per_row * weights).sum() / jnp.maximum(weights.sum(), 1.0)
+
             if method == "baseline":
-                ce_loss = ce(out.logits, labels).mean()
+                ce_loss = wmean(ce(out.logits, labels))
                 losses = {"ce_loss": ce_loss}
                 total = ce_loss
             elif method == "va":
-                ce_loss = ce(out.nled_logits, labels).mean()
-                reg_loss = ce(out.reg_logits, labels).mean()
+                ce_loss = wmean(ce(out.nled_logits, labels))
+                reg_loss = wmean(ce(out.reg_logits, labels))
                 losses = {"ce_loss": ce_loss, "reg_loss": reg_loss}
                 total = ce_loss + reg_loss
             else:  # vasa
-                ce_loss = ce(out.nled_logits, labels).mean()
-                reg_loss = ce(out.reg_logits, labels).mean()
-                word_loss = ce(out.word_logits, labels).mean()
+                ce_loss = wmean(ce(out.nled_logits, labels))
+                reg_loss = wmean(ce(out.reg_logits, labels))
+                word_loss = wmean(ce(out.word_logits, labels))
                 losses = {
                     "ce_loss": ce_loss,
                     "reg_loss": reg_loss,
@@ -141,10 +170,18 @@ def make_train_step(
                 }
                 total = ce_loss + reg_loss + word_loss
             if ranking_weight > 0.0:
-                e = out.clip_embed.reshape(-1, 3, out.clip_embed.shape[-1])
+                # padded rows sit at the tail; whole triplets stay intact —
+                # truncate to full triplets and weight each by its members
+                n3 = (out.clip_embed.shape[0] // 3) * 3
+                e = out.clip_embed[:n3].reshape(-1, 3, out.clip_embed.shape[-1])
                 d_ap = jnp.sum((e[:, 0] - e[:, 1]) ** 2, axis=-1)
                 d_an = jnp.sum((e[:, 0] - e[:, 2]) ** 2, axis=-1)
-                rank_loss = jnp.mean(jax.nn.relu(d_ap - d_an + triplet_margin))
+                per_triplet = jax.nn.relu(d_ap - d_an + triplet_margin)
+                if weights is None:
+                    rank_loss = per_triplet.mean()
+                else:
+                    w3 = weights[:n3].reshape(-1, 3).min(axis=1)
+                    rank_loss = (per_triplet * w3).sum() / jnp.maximum(w3.sum(), 1.0)
                 losses["ranking_loss"] = rank_loss
                 total = total + ranking_weight * rank_loss
             losses["loss"] = total
