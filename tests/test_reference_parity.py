@@ -1,0 +1,174 @@
+"""Differential parity against the REFERENCE'S OWN evaluator code.
+
+Imports /root/reference's ``dataloader_baseline`` (read-only mount) and drives
+its ``evaluation_metric`` accumulator (dataloader_baseline.py:325-658) and
+``generate_multi_query`` (:296-322) side by side with our reimplementations
+on randomized streams — converting "parity by reimplementation" into parity
+measured against upstream's code, with its sklearn tie semantics, robust-mAP
+flip, duplicate-class weighting, and seed-620 RNG in the loop.
+
+Skipped when the reference mount (or sklearn/scipy) is unavailable. faiss is
+stubbed: only the metric/aggregation code is exercised, never the index.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF_ROOT = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref_db():
+    import os
+
+    if not os.path.isdir(REF_ROOT):
+        pytest.skip("reference mount unavailable")
+    pytest.importorskip("sklearn")
+    pytest.importorskip("scipy")
+    if "faiss" not in sys.modules:
+        faiss_stub = types.ModuleType("faiss")
+        faiss_stub.IndexFlatL2 = object  # import-time only; never constructed
+        sys.modules["faiss"] = faiss_stub
+    try:
+        import torchvision  # noqa: F401
+    except ImportError:  # stub satisfies `import torchvision.transforms` only
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    try:
+        import dataloader_baseline as mod
+    except Exception as e:  # pragma: no cover - env-specific
+        pytest.skip(f"reference import failed: {e}")
+    return mod
+
+
+def _synthetic_queries(ref_db, rng, queries_per_class=3, gallery=400):
+    """Randomized scored candidate streams over REAL split labels.
+
+    Scores are quantized to force ties (exercising sklearn's tie handling),
+    tp is sparse, and a few candidates are ignore-flagged (multi-query
+    self-exclusion, dataloader_baseline.py:1532).
+    """
+    from misc_utils.utils_dataset import dataset_config
+
+    cfg = dataset_config["100_20_80"]
+    base = cfg["arv_train_label"][:4]
+    novel = cfg["arv_test_label"][:3]
+    items = []
+    for cls_name in base + novel:
+        rtype = "base" if cls_name in base else "novel"
+        for _ in range(queries_per_class):
+            scores = np.round(rng.normal(size=gallery), 2)  # ties
+            tp = rng.random(gallery) < 0.04
+            ignore = rng.random(gallery) < 0.02
+            # rank by score desc, stable — the order upstream's faiss reorder
+            # hands to add2dict (dataloader_baseline.py:1599-1604)
+            order = np.argsort(-scores, kind="stable")
+            hits = [
+                dict(
+                    tp=int(tp[j]),
+                    score=float(scores[j]),
+                    ignore=bool(ignore[j]),
+                    label=cls_name,
+                )
+                for j in order
+            ]
+            items.append((cls_name, rtype, hits))
+    return items
+
+
+class TestEvaluationMetricParity:
+    def test_aggregate_matches_reference(self, ref_db):
+        from vqwild_tpu.ops.metrics_np import single_query_metrics
+        from vqwild_tpu.retrieval.aggregate import MetricAggregator
+
+        rng = np.random.default_rng(620)
+        items = _synthetic_queries(ref_db, rng)
+
+        args = types.SimpleNamespace(meta_split="100_20_80")
+        ref_query_list = [
+            [dict(label=c, retrieval_type=t, video_id=f"q{i}")]
+            for i, (c, t, _) in enumerate(items)
+        ]
+        ref_metric = ref_db.evaluation_metric(args, ref_query_list)
+        ours = MetricAggregator()
+        ours.set_class_info([(c, t) for c, t, _ in items])
+        for cls_name, rtype, hits in items:
+            ref_metric.add2dict(cls_name, rtype, hits)
+            scores = np.array([h["score"] for h in hits])
+            tp = np.array([h["tp"] for h in hits])
+            ignore = np.array([h["ignore"] for h in hits])
+            ap, recalls = single_query_metrics(scores, tp, ignore)
+            ours.add(cls_name, rtype, ap, recalls)
+
+        ref_result = ref_metric.get_result(ref_query_list)
+        our_result = ours.result()
+
+        assert our_result["ap"] == pytest.approx(ref_result["ap"], abs=1e-12)
+        assert our_result["base_map"] == pytest.approx(ref_result["base_map"], abs=1e-12)
+        assert our_result["novel_map"] == pytest.approx(ref_result["novel_map"], abs=1e-12)
+        for n in (30, 50, 100):
+            assert our_result["recall"][str(n)] == pytest.approx(
+                ref_result["recall"][str(n)], abs=1e-12
+            )
+            assert our_result["base_recall"][str(n)] == pytest.approx(
+                ref_result["base_recall"][str(n)], abs=1e-12
+            )
+            assert our_result["novel_recall"][str(n)] == pytest.approx(
+                ref_result["novel_recall"][str(n)], abs=1e-12
+            )
+        # per-class mAP table (cm_dict payload)
+        for c, v in ref_result["cm_dict"]["class_map_dict"].items():
+            assert our_result["class_map_dict"][c] == pytest.approx(v, abs=1e-12)
+
+    def test_per_query_ap_matches_sklearn_via_reference(self, ref_db):
+        """multiprocess_calculate (the moment-eval worker path,
+        dataloader_baseline.py:386-402) vs our single_query_metrics."""
+        from vqwild_tpu.ops.metrics_np import single_query_metrics
+
+        args = types.SimpleNamespace(meta_split="100_20_80")
+        ref_metric = ref_db.evaluation_metric.__new__(ref_db.evaluation_metric)
+        ref_metric.r_at_n = [30, 50, 100]
+        rng = np.random.default_rng(7)
+        for trial in range(20):
+            g = int(rng.integers(40, 300))
+            scores = np.round(rng.normal(size=g), 1)  # heavy ties
+            tp = rng.random(g) < 0.1
+            ignore = rng.random(g) < 0.05
+            order = np.argsort(-scores, kind="stable")
+            hits = [
+                dict(tp=int(tp[j]), score=float(scores[j]), ignore=bool(ignore[j]))
+                for j in order
+            ]
+            r = ref_metric.multiprocess_calculate(hits)
+            ap, recalls = single_query_metrics(scores, tp, ignore)
+            assert ap == pytest.approx(r["ap"], abs=1e-12), f"trial {trial}"
+            assert recalls == pytest.approx(r["recall_list"], abs=1e-12)
+
+
+class TestMultiQueryParity:
+    def test_seed620_expansion_matches_reference(self, ref_db):
+        from vqwild_tpu.retrieval.multiquery import generate_multi_query as ours
+
+        rng = np.random.default_rng(0)
+        query_list = []
+        for ci in range(5):
+            for vi in range(int(rng.integers(2, 7))):
+                query_list.append(
+                    dict(label=f"cls{ci}", video_id=f"v{ci}_{vi}", is_query=1)
+                )
+        ref_exp = ref_db.generate_multi_query([dict(q) for q in query_list])
+        our_exp = ours(
+            [dict(q) for q in query_list],
+            label_of=lambda q: q["label"],
+            video_id_of=lambda q: q["video_id"],
+        )
+        assert len(ref_exp) == len(our_exp)
+        for r, o in zip(ref_exp, our_exp):
+            assert [q["video_id"] for q in r] == [q["video_id"] for q in o]
