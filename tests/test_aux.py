@@ -96,6 +96,85 @@ class TestDiagnostics:
         # scores arrive ranked: within each query the stream is descending,
         # so the global stream's positives must include the robust trailing 1
         assert yt[-1] == 1
+        assert cm["pass_content"]  # expanded query lists (dataloader:1611)
+
+    def _fake_extractor(self):
+        from vqwild_tpu.data.frames import SyntheticFrameStore
+        from vqwild_tpu.retrieval.features import FeatureExtractor, make_fake_feat_fn
+
+        return FeatureExtractor(
+            make_fake_feat_fn(16, seed=0),
+            SyntheticFrameStore(),
+            test_frames=4,
+            test_batch_size=8,
+            input_size=64,
+            fake=True,
+        )
+
+    def _check_cm(self, cm, want_top30_keys):
+        import numpy as np
+
+        assert len(cm["gt_labels"]) == len(cm["label"]) > 0
+        assert cm["top30_result_list"] and len(cm["top30_result_list"][0]) <= 30
+        assert set(cm["top30_result_list"][0][0]) == want_top30_keys
+        assert cm["query_duration_map_dict"]
+        sysd = cm["system_ap_dict"]
+        assert len(sysd["y_true"]) == len(sysd["y_pred"]) > 0
+        assert set(np.unique(sysd["y_true"])) <= {0, 1}
+        assert (
+            len(sysd["base_y_true"]) + len(sysd["novel_y_true"])
+            == len(sysd["y_true"])
+        )
+        assert cm["class_map_dict"]
+
+    def test_clip_cm_dict(self, tiny_arv):
+        from vqwild_tpu.data.schema import load_moment_db
+        from vqwild_tpu.retrieval import ARVRetrievalClip
+
+        mdb = load_moment_db(tiny_arv["moment_path"])
+        r = ARVRetrievalClip(
+            mdb,
+            tiny_arv["spec"],
+            self._fake_extractor(),
+            clip_sec=6,
+            r_at_n=(5,),
+            check_completeness=False,
+            collect_diagnostics=True,
+        ).evaluation()
+        self._check_cm(r["cm_dict"], {"video_id", "clip_label", "loc"})
+
+    def test_moment_cm_dict(self, tiny_arv):
+        from vqwild_tpu.data.schema import load_moment_db
+        from vqwild_tpu.retrieval import ARVRetrievalMoment
+
+        mdb = load_moment_db(tiny_arv["moment_path"])
+        ev = ARVRetrievalMoment(
+            mdb,
+            tiny_arv["spec"],
+            self._fake_extractor(),
+            moment_clip_sec=5,
+            max_clips_per_moment=3,
+            r_at_n=(5,),
+            rank_chunk=6,
+            workers=2,
+            collect_diagnostics=True,
+        )
+        r = ev.evaluation()
+        cm = r["map05"]["cm_dict"]
+        self._check_cm(cm, {"video_id", "loc", "hit_label", "hit_iou"})
+        # diagnostics must not perturb the metrics themselves
+        ev2 = ARVRetrievalMoment(
+            mdb,
+            tiny_arv["spec"],
+            self._fake_extractor(),
+            moment_clip_sec=5,
+            max_clips_per_moment=3,
+            r_at_n=(5,),
+            rank_chunk=6,
+            workers=2,
+        )
+        r2 = ev2.evaluation()
+        assert abs(r["map05"]["ap"] - r2["map05"]["ap"]) < 1e-9
 
 
 class TestRankingLoss:

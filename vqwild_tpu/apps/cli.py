@@ -109,7 +109,8 @@ def parse(argv=None) -> ExperimentConfig:
                    help="adds a triplet ranking loss over the loader's triplet structure")
     p.add_argument("--triplet_margin", type=float, default=1.0)
     p.add_argument("--collect_diagnostics", action="store_true",
-                   help="collect the cm_dict confusion/top-30 payload during trimmed eval")
+                   help="collect the cm_dict confusion/top-30/system-AP payload "
+                        "during trimmed/clip/moment eval")
     p.add_argument("--wire", choices=["rgb", "yuv420"], default="rgb",
                    help="host→device wire format; yuv420 halves transfer bytes")
     p.add_argument("--profile", action="store_true", help="write a jax.profiler trace")
@@ -330,6 +331,7 @@ def run_evaluation(cfg, extra, run_dir: RunDir):
                 robust_map=cfg.eval.robust_map,
                 rank_chunk=cfg.eval.rank_chunk,
                 read_cache=cfg.eval.read_cache_feat,
+                collect_diagnostics=cfg.eval.collect_diagnostics,
                 mesh=mesh,
             ).evaluation()
         if want_moment:
@@ -349,6 +351,7 @@ def run_evaluation(cfg, extra, run_dir: RunDir):
                 rank_chunk=cfg.eval.rank_chunk,
                 read_cache=cfg.eval.read_cache_feat,
                 workers=cfg.data.workers,
+                collect_diagnostics=cfg.eval.collect_diagnostics,
                 mesh=mesh,
             ).evaluation()
     run_dir.write_metrics("evaluation", results)

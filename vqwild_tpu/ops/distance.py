@@ -33,6 +33,11 @@ def pairwise_sq_l2(q, g, precision=jax.lax.Precision.HIGHEST):
     return jnp.maximum(q2 + g2 - 2.0 * cross, 0.0)
 
 
+# jitted wrapper for dispatch: without it the mesh/CPU path runs the
+# expansion op-by-op per chunk (eager dispatch overhead per [Q,G] tile)
+_pairwise_sq_l2_jit = jax.jit(pairwise_sq_l2, static_argnames=("precision",))
+
+
 def _is_cross_device_sharded(x) -> bool:
     s = getattr(x, "sharding", None)
     try:
@@ -61,4 +66,4 @@ def score_matrix(q, g):
         from vqwild_tpu.ops.pallas_kernels import pairwise_sq_l2_pallas
 
         return -pairwise_sq_l2_pallas(q, g)
-    return -pairwise_sq_l2(q, g)
+    return -_pairwise_sq_l2_jit(q, g)

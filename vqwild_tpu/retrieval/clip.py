@@ -21,6 +21,7 @@ from vqwild_tpu.ops.hostmem import alloc_array
 from vqwild_tpu.ops.ranking import ranked_retrieval_metrics
 from vqwild_tpu.ops.segment_pool import HostWindowPooler, enumerate_clip_windows
 from vqwild_tpu.retrieval.aggregate import MetricAggregator
+from vqwild_tpu.retrieval.diagnostics import DiagnosticsCollector
 from vqwild_tpu.retrieval.features import FeatureExtractor
 from vqwild_tpu.retrieval.multiquery import generate_multi_query
 from vqwild_tpu.retrieval.sharded import GalleryScorer
@@ -59,6 +60,7 @@ class ARVRetrievalClip:
         rank_chunk: int = 256,
         read_cache: bool = False,
         check_completeness: bool = True,
+        collect_diagnostics: bool = False,
         mesh=None,
     ):
         self.extractor = extractor
@@ -72,6 +74,7 @@ class ARVRetrievalClip:
         self.rank_chunk = rank_chunk
         self.read_cache = read_cache
         self.check_completeness = check_completeness
+        self.collect_diagnostics = collect_diagnostics
         self.mesh = mesh
         # clip/moment eval always uses train+test labels (:671-674)
         self.possible_classes = set(spec.possible_classes("testing"))
@@ -84,10 +87,11 @@ class ARVRetrievalClip:
         )
 
     def build_gallery(self):
-        """→ (clip_feats [G, C], clip_labels [G] str, clip_video_idx [G])."""
+        """→ (clip_feats [G, C], clip_labels [G] str, clip_video_idx [G],
+        clip_locs [G, 2] seconds)."""
         cache = self.extractor.load_cache("clip_gallery.npz") if self.read_cache else None
-        if cache is not None:
-            return cache["feats"], cache["labels"], cache["video_idx"]
+        if cache is not None and "locs" in cache:
+            return cache["feats"], cache["labels"], cache["video_idx"], cache["locs"]
         tapes = self.extractor.extract_video_tapes(self.gallery_videos)
         # preallocated arenas + reusable pooler scratch (page faults on fresh
         # allocations are pathologically costly here; see HostWindowPooler)
@@ -107,6 +111,7 @@ class ARVRetrievalClip:
         feats = alloc_array((total, feat_dim), np.float32)
         vidx = np.empty(total, np.int64)
         labels_arr = np.empty(total, object)
+        locs_arr = np.zeros((total, 2), np.float64)
         pooler = HostWindowPooler()
         off = 0
         for vi, (video, tape) in enumerate(zip(self.gallery_videos, tapes)):
@@ -116,6 +121,7 @@ class ARVRetrievalClip:
                 continue
             pooler(tape, starts, ends, out=feats[off : off + w])
             vidx[off : off + w] = vi
+            locs_arr[off : off + w] = locs
             for k in range(w):
                 labels_arr[off + k] = window_label(
                     video.annotations, locs[k], self.possible_classes
@@ -123,9 +129,9 @@ class ARVRetrievalClip:
             off += w
         labels = labels_arr.astype(str)
         self.extractor.save_cache(
-            "clip_gallery.npz", feats=feats, labels=labels, video_idx=vidx
+            "clip_gallery.npz", feats=feats, labels=labels, video_idx=vidx, locs=locs_arr
         )
-        return feats, labels, vidx
+        return feats, labels, vidx, locs_arr
 
     def evaluation(self) -> dict:
         q_feats_all = self.extractor.extract_trimmed(self.queries)
@@ -134,7 +140,7 @@ class ARVRetrievalClip:
         queries = [pool[i] for i in keep]
         q_feats_all = q_feats_all[keep]
 
-        gal_feats, gal_labels, gal_vidx = self.build_gallery()
+        gal_feats, gal_labels, gal_vidx, gal_locs = self.build_gallery()
         if self.check_completeness:
             present = set(gal_labels.tolist()) - {"unknown"}
             missing = self.possible_classes - present
@@ -169,6 +175,10 @@ class ARVRetrievalClip:
         agg.set_class_info(
             [(queries[qs[0]].label, queries[qs[0]].retrieval_type) for qs in expanded]
         )
+        # upstream's clip dicts carry only gt_label/tp/ignore/score (:911-927)
+        # so its cm_dict has just gt_labels + system streams; the rebuild fills
+        # the full payload (see retrieval/diagnostics.py)
+        diag = DiagnosticsCollector(self.robust_map) if self.collect_diagnostics else None
         scorer = GalleryScorer(gal_feats, mesh=self.mesh)
         for start in range(0, len(expanded), self.rank_chunk):
             batch = expanded[start : start + self.rank_chunk]
@@ -195,10 +205,40 @@ class ARVRetrievalClip:
                 jnp.asarray(ignore),
                 r_at_n=self.r_at_n,
                 robust=self.robust_map,
+                topk=100 if diag is not None else 0,
+                full_rank=diag is not None,
             )
             aps = np.asarray(out["ap"])
             recalls = np.asarray(out["recalls"])
+            if diag is not None:
+                top_idx = np.asarray(out["top_idx"])
+                tp_sorted = np.asarray(out["tp_sorted"])
+                s_sorted = np.asarray(out["scores_sorted"], np.float32)
+                nvalid = np.asarray(out["nvalid"])
             for bi, qs in enumerate(batch):
                 q = queries[qs[0]]
                 agg.add(q.label, q.retrieval_type, float(aps[bi]), recalls[bi].tolist())
-        return agg.result()
+                if diag is not None:
+                    k = int(nvalid[bi])
+                    top = [g for g in top_idx[bi] if not ignore[bi, g]][:100]
+                    diag.add(
+                        gt_label=q.label,
+                        retrieval_type=q.retrieval_type,
+                        duration_sec=q.duration_sec,
+                        ap=float(aps[bi]),
+                        y_true=tp_sorted[bi, :k],
+                        y_pred=s_sorted[bi, :k],
+                        top_labels=[str(gal_labels[g]) for g in top],
+                        top30_items=[
+                            dict(
+                                video_id=str(gal_video_ids[g]),
+                                clip_label=str(gal_labels[g]),
+                                loc=gal_locs[g].tolist(),
+                            )
+                            for g in top[:30]
+                        ],
+                    )
+        result = agg.result()
+        if diag is not None:
+            result["cm_dict"] = diag.finalize(agg, result)
+        return result

@@ -37,6 +37,7 @@ from vqwild_tpu.ops.hostmem import alloc_array
 from vqwild_tpu.ops.nms import temporal_nms
 from vqwild_tpu.ops.segment_pool import HostWindowPooler, enumerate_moment_windows
 from vqwild_tpu.retrieval.aggregate import MetricAggregator
+from vqwild_tpu.retrieval.diagnostics import DiagnosticsCollector
 from vqwild_tpu.retrieval.features import FeatureExtractor
 from vqwild_tpu.retrieval.multiquery import generate_multi_query
 from vqwild_tpu.retrieval.sharded import GalleryScorer
@@ -96,8 +97,14 @@ def moment_query_metrics(
     tiou_threshold: float = 0.5,
     r_at_n: Sequence[int] = (30, 50, 100),
     robust: bool = True,
+    return_diag: bool = False,
 ) -> Tuple[float, List[float]]:
-    """One query's full postprocess (the reference worker body, :1236-1330)."""
+    """One query's full postprocess (the reference worker body, :1236-1330).
+
+    With ``return_diag`` a third element is returned: dict(valid=[K] kept
+    moment indices in grouped order, tp=[K] bool pre-robust labels,
+    scores=[K]) — the ignore-filtered ranked stream for the cm_dict payload.
+    """
     order = np.argsort(-scores, kind="stable")
     # cluster by video in ranked order
     kept_global: List[np.ndarray] = []
@@ -117,7 +124,16 @@ def moment_query_metrics(
     grouped = np.concatenate(kept_global) if kept_global else np.array([], np.int64)
     valid = grouped[~ignore[grouped]]
     if len(valid) == 0:
-        return 0.0, [0.0 for _ in r_at_n]
+        empty = (0.0, [0.0 for _ in r_at_n])
+        if return_diag:
+            return empty + (
+                dict(
+                    valid=valid,
+                    tp=np.zeros(0, bool),
+                    scores=np.zeros(0, np.float32),
+                ),
+            )
+        return empty
     tp = iou[valid] >= tiou_threshold
     y_true = tp.astype(np.int64).copy()
     if robust:
@@ -125,6 +141,8 @@ def moment_query_metrics(
     ap = metrics_np.average_precision(y_true, scores[valid])
     npos = float(tp.sum()) + 1e-10
     recalls = [float(tp[:n].sum() / npos) for n in r_at_n]
+    if return_diag:
+        return ap, recalls, dict(valid=valid, tp=tp, scores=scores[valid])
     return ap, recalls
 
 
@@ -147,6 +165,7 @@ class ARVRetrievalMoment:
         rank_chunk: int = 128,
         read_cache: bool = False,
         workers: int = 8,
+        collect_diagnostics: bool = False,
         mesh=None,
     ):
         self.extractor = extractor
@@ -164,6 +183,7 @@ class ARVRetrievalMoment:
         self.read_cache = read_cache
         # 0 means "no loader workers" at the CLI; postprocess still needs >=1
         self.workers = max(1, workers)
+        self.collect_diagnostics = collect_diagnostics
         self.mesh = mesh
         self.possible_classes = set(spec.possible_classes("testing"))
         self.queries: List[VideoRecord] = db.nonnoise_queries()
@@ -258,6 +278,9 @@ class ARVRetrievalMoment:
             use_native = native_lib.available()
         except ImportError:
             use_native = False
+        # the native engine returns only ap/recalls; diagnostics need the
+        # per-query kept stream, so they ride the numpy/thread path
+        use_native = use_native and not self.collect_diagnostics
         if use_native:
             label_ids = {"": -1}
             for lab in list(h_label) + [q.label for q in queries]:
@@ -281,6 +304,10 @@ class ARVRetrievalMoment:
         agg.set_class_info(
             [(queries[qs[0]].label, queries[qs[0]].retrieval_type) for qs in expanded]
         )
+        # upstream's multiprocessing moment path bypasses add2dict and
+        # collects no diagnostics (:386-402); the rebuild fills the full
+        # payload over the kept grouped-order stream (retrieval/diagnostics.py)
+        diag = DiagnosticsCollector(self.robust_map) if self.collect_diagnostics else None
 
         scorer = GalleryScorer(feats, mesh=self.mesh)
         pool = concurrent.futures.ThreadPoolExecutor(max_workers=self.workers)
@@ -339,7 +366,7 @@ class ARVRetrievalMoment:
                     ignore_q = np.isin(
                         gal_video_ids, [queries[i].video_id for i in qs]
                     )
-                    ap, recalls = moment_query_metrics(
+                    out = moment_query_metrics(
                         scores[bi],
                         vidx,
                         s_sec,
@@ -350,11 +377,37 @@ class ARVRetrievalMoment:
                         self.tiou_threshold,
                         self.r_at_n,
                         self.robust_map,
+                        return_diag=diag is not None,
                     )
-                    return q.label, q.retrieval_type, ap, recalls
+                    return (q,) + tuple(out)
 
-                for label, rtype, ap, recalls in pool.map(one, enumerate(batch)):
-                    agg.add(label, rtype, ap, recalls)
+                for res in pool.map(one, enumerate(batch)):
+                    q, ap, recalls = res[0], res[1], res[2]
+                    agg.add(q.label, q.retrieval_type, ap, recalls)
+                    if diag is not None:
+                        d = res[3]
+                        top = d["valid"][:100]
+                        diag.add(
+                            gt_label=q.label,
+                            retrieval_type=q.retrieval_type,
+                            duration_sec=q.duration_sec,
+                            ap=float(ap),
+                            y_true=d["tp"],
+                            y_pred=d["scores"],
+                            top_labels=[str(h_label[g]) for g in top],
+                            top30_items=[
+                                dict(
+                                    video_id=str(gal_video_ids[g]),
+                                    loc=[float(s_sec[g]), float(e_sec[g])],
+                                    hit_label=str(h_label[g]),
+                                    hit_iou=float(h_iou[g]),
+                                )
+                                for g in top[:30]
+                            ],
+                        )
         finally:
             pool.shutdown()
-        return {"map05": agg.result()}
+        result = agg.result()
+        if diag is not None:
+            result["cm_dict"] = diag.finalize(agg, result)
+        return {"map05": result}

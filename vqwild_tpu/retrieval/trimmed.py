@@ -22,6 +22,7 @@ from vqwild_tpu.data.labels import SplitSpec
 from vqwild_tpu.data.schema import TrimmedDB, VideoRecord
 from vqwild_tpu.ops.ranking import ranked_retrieval_metrics
 from vqwild_tpu.retrieval.aggregate import MetricAggregator
+from vqwild_tpu.retrieval.diagnostics import DiagnosticsCollector
 from vqwild_tpu.retrieval.features import FeatureExtractor
 from vqwild_tpu.retrieval.multiquery import generate_multi_query
 from vqwild_tpu.retrieval.sharded import GalleryScorer
@@ -109,21 +110,7 @@ class ARVRetrievalTrimmed:
             [(records[qs[0]].label, records[qs[0]].retrieval_type) for qs in expanded]
         )
         # cm_dict diagnostics payload (dataloader_baseline.py:357-368, :437-466)
-        diag = (
-            dict(gt_labels=[], label=[], top30_result_list=[], query_duration_map_dict={})
-            if self.collect_diagnostics
-            else None
-        )
-        # system-level y_true/y_pred stream per query, split by base/novel
-        # (dataloader_baseline.py:448-456); accumulated as numpy chunks, not
-        # python lists — at ARV scale the stream is Q×G ≈ 10^8 entries
-        sys_ap = {
-            k: [] for k in (
-                "y_true", "y_pred",
-                "base_y_true", "base_y_pred",
-                "novel_y_true", "novel_y_pred",
-            )
-        } if self.collect_diagnostics else None
+        diag = DiagnosticsCollector(self.robust_map) if self.collect_diagnostics else None
 
         scorer = GalleryScorer(gallery_feats, mesh=self.mesh)
         for start in range(0, len(expanded), self.rank_chunk):
@@ -153,9 +140,11 @@ class ARVRetrievalTrimmed:
                 jnp.asarray(ignore),
                 r_at_n=self.r_at_n,
                 robust=self.robust_map,
-                # headroom: ignored entries are dropped AFTER the top cut,
-                # and the reference slices the ignore-filtered ranking
-                topk=(100 + 8 * self.multi_query_extra) if diag is not None else 0,
+                # ignored entries score −inf and sort strictly after every
+                # valid item, so top_idx[:100] already IS the first 100 of
+                # the ignore-filtered ranking — no headroom needed; the
+                # filter below only trims when the query has <100 valid rows
+                topk=100 if diag is not None else 0,
                 full_rank=diag is not None,
             )
             aps = np.asarray(out["ap"])
@@ -170,37 +159,34 @@ class ARVRetrievalTrimmed:
                 agg.add(q.label, q.retrieval_type, float(aps[bi]), recalls[bi].tolist())
                 if diag is not None:
                     k = int(nvalid[bi])
-                    yt = tp_sorted[bi, :k].astype(np.int8)
-                    if self.robust_map and k:
-                        yt[-1] = 1  # y_true[-1]=1 "for robust mAP" (:434)
-                    yp = s_sorted[bi, :k]
-                    sys_ap["y_true"].append(yt)
-                    sys_ap["y_pred"].append(yp)
-                    sys_ap[f"{q.retrieval_type}_y_true"].append(yt)
-                    sys_ap[f"{q.retrieval_type}_y_pred"].append(yp)
                     # first 100 of the ignore-filtered ranking (dataloader:437-466)
                     top = [g for g in top_idx[bi] if not ignore[bi, g]][:100]
-                    diag["gt_labels"].extend([q.label] * len(top))
-                    diag["label"].extend(records[g].label for g in top)
-                    diag["top30_result_list"].append(
-                        [
+                    diag.add(
+                        gt_label=q.label,
+                        retrieval_type=q.retrieval_type,
+                        duration_sec=q.duration_sec,
+                        ap=float(aps[bi]),
+                        y_true=tp_sorted[bi, :k],
+                        y_pred=s_sorted[bi, :k],
+                        top_labels=[records[g].label for g in top],
+                        top30_items=[
                             dict(
                                 video_id=records[g].video_id,
                                 label=records[g].label,
                                 segment=list(records[g].segment),
                             )
                             for g in top[:30]
-                        ]
+                        ],
                     )
-                    diag["query_duration_map_dict"][q.duration_sec] = float(aps[bi])
         result = agg.result()
         if diag is not None:
-            diag["base_classes"] = agg.base_classes
-            diag["novel_classes"] = agg.novel_classes
-            diag["class_map_dict"] = result["class_map_dict"]
-            diag["system_ap_dict"] = {
-                k: (np.concatenate(v) if v else np.empty(0, np.int8))
-                for k, v in sys_ap.items()
-            }
-            result["cm_dict"] = diag
+            # pass_content = the expanded query lists, mirroring upstream's
+            # get_result(self.original_query_list) (:1611)
+            result["cm_dict"] = diag.finalize(
+                agg,
+                result,
+                pass_content=[
+                    [records[i].video_id for i in qs] for qs in expanded
+                ],
+            )
         return result
