@@ -174,6 +174,76 @@ def bench_jax() -> float:
     return cps, round(dev_cps, 1), round(mfu_pct, 1)
 
 
+def bench_train() -> dict:
+    """Real train-step numbers on the accelerator: compile seconds, steady
+    ms/step, and the loss trajectory over a short device-resident run.
+
+    Flagship vasa method at the reference's production shapes — batch 10
+    triplets = 30 clips × 32 frames × 112² (main.py:27-52) — on the YUV 4:2:0
+    train wire. Data stays device-resident so the number is the chip's step
+    rate, not the relay's."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqwild_tpu.core.config import ModelConfig
+    from vqwild_tpu.models import build_model, init_model
+    from vqwild_tpu.train.step import create_train_state, make_optimizer, make_train_step
+
+    nclass, sem_dim, clips_n = 200, 200, 30
+    model = build_model(
+        ModelConfig(method="vasa", nclass=nclass, semantic_dim=sem_dim)
+    )
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params, state_vars = init_model(
+            model, jax.random.PRNGKey(0), (1, 2, CROP, CROP, 3), semantic_dim=sem_dim
+        )
+        tx = make_optimizer(
+            init_lr=1e-4, weight_decay=1e-5, steps_per_epoch=100, lr_decay_epoch=9
+        )
+        state = create_train_state(model, params, state_vars, tx, jax.random.PRNGKey(1))
+    dev = jax.devices()[0]
+    state = jax.device_put(state, dev)
+    rng = np.random.default_rng(2)
+    sem = jax.device_put(
+        rng.normal(size=(nclass, sem_dim)).astype(np.float32) * 0.05, dev
+    )
+    step = make_train_step(model, tx, semantic_memory=sem, wire="yuv420")
+    y = jax.device_put(
+        rng.integers(0, 255, (clips_n, FRAMES, CROP, CROP), dtype=np.uint8), dev
+    )
+    uv = jax.device_put(
+        rng.integers(0, 255, (clips_n, FRAMES, CROP // 2, CROP // 2, 2), dtype=np.uint8),
+        dev,
+    )
+    labels = jax.device_put(
+        np.repeat(rng.integers(0, nclass, clips_n // 3), 3).astype(np.int32), dev
+    )
+    t0 = time.time()
+    state, losses = step(state, y, uv, labels)
+    loss0 = float(losses["loss"])
+    compile_s = time.time() - t0
+    # steady state: chained steps (donated state), one trailing sync
+    nsteps = 10
+    t0 = time.time()
+    for _ in range(nsteps):
+        state, losses = step(state, y, uv, labels)
+    loss_n = float(losses["loss"])  # readback = sync
+    step_ms = (time.time() - t0) / nsteps * 1000.0
+    log(
+        f"train step (vasa, {clips_n}x{FRAMES}x{CROP}², yuv420 wire): compile "
+        f"{compile_s:.1f}s, steady {step_ms:.1f} ms/step "
+        f"({clips_n/step_ms*1000:.1f} clips/sec), loss {loss0:.4f}->{loss_n:.4f}"
+    )
+    return {
+        "train_compile_s": round(compile_s, 1),
+        "train_step_ms": round(step_ms, 1),
+        "train_clips_per_sec": round(clips_n / step_ms * 1000.0, 1),
+        "train_loss0": round(loss0, 4),
+        "train_loss10": round(loss_n, 4),
+    }
+
+
 def bench_torch_reference() -> float:
     if os.path.exists(REF_CACHE):
         with open(REF_CACHE) as f:
@@ -212,6 +282,11 @@ def bench_torch_reference() -> float:
 
 def main():
     value, dev_cps, mfu_pct = bench_jax()
+    try:
+        train = bench_train()
+    except Exception as e:  # train bench must never sink the headline metric
+        log(f"train bench failed: {e!r}")
+        train = {}
     ref = bench_torch_reference()
     vs = value / ref if ref > 0 else 0.0
     print(
@@ -223,6 +298,7 @@ def main():
                 "vs_baseline": round(vs, 2),
                 "device_resident_cps": dev_cps,
                 "mfu_pct": mfu_pct,
+                **train,
             }
         )
     )
