@@ -187,9 +187,13 @@ def bench_train() -> dict:
 
     from vqwild_tpu.core.config import ModelConfig
     from vqwild_tpu.models import build_model, init_model
-    from vqwild_tpu.train.step import create_train_state, make_optimizer, make_train_step
+    from vqwild_tpu.train.step import (
+        create_train_state,
+        make_optimizer,
+        make_scanned_train_step,
+    )
 
-    nclass, sem_dim, clips_n = 200, 200, 30
+    nclass, sem_dim, clips_n, k_scan = 200, 200, 30, 16
     model = build_model(
         ModelConfig(method="vasa", nclass=nclass, semantic_dim=sem_dim)
     )
@@ -208,7 +212,13 @@ def bench_train() -> dict:
     sem = jax.device_put(
         rng.normal(size=(nclass, sem_dim)).astype(np.float32) * 0.05, dev
     )
-    step = make_train_step(model, tx, semantic_memory=sem, wire="yuv420")
+    # scanned inner loop: k_scan steps per dispatch (train/step.py:
+    # make_scanned_train_step) — dependent per-step dispatches would pay a
+    # ~350-buffer state round trip per step on this relay; scan keeps the
+    # state on device and measures the chip's true step rate
+    step = make_scanned_train_step(
+        model, tx, semantic_memory=sem, wire="yuv420", donate=False
+    )
     y = jax.device_put(
         rng.integers(0, 255, (clips_n, FRAMES, CROP, CROP), dtype=np.uint8), dev
     )
@@ -219,28 +229,32 @@ def bench_train() -> dict:
     labels = jax.device_put(
         np.repeat(rng.integers(0, nclass, clips_n // 3), 3).astype(np.int32), dev
     )
+    tile = jax.jit(lambda a: jnp.stack([a] * k_scan))
+    ys, uvs, labs = tile(y), tile(uv), tile(labels)
     t0 = time.time()
-    state, losses = step(state, y, uv, labels)
-    loss0 = float(losses["loss"])
+    _, losses = step(state, ys, uvs, labs)
+    traj = np.asarray(losses["loss"])  # [k_scan] per-step trajectory
     compile_s = time.time() - t0
-    # steady state: chained steps (donated state), one trailing sync
-    nsteps = 10
-    t0 = time.time()
-    for _ in range(nsteps):
-        state, losses = step(state, y, uv, labels)
-    loss_n = float(losses["loss"])  # readback = sync
-    step_ms = (time.time() - t0) / nsteps * 1000.0
+    best = 1e18
+    for _ in range(3):
+        t0 = time.time()
+        _, losses = step(state, ys, uvs, labs)
+        jax.block_until_ready(losses["loss"])
+        best = min(best, time.time() - t0)
+    step_ms = best / k_scan * 1000.0
     log(
-        f"train step (vasa, {clips_n}x{FRAMES}x{CROP}², yuv420 wire): compile "
-        f"{compile_s:.1f}s, steady {step_ms:.1f} ms/step "
-        f"({clips_n/step_ms*1000:.1f} clips/sec), loss {loss0:.4f}->{loss_n:.4f}"
+        f"train step (vasa, {clips_n}x{FRAMES}x{CROP}², yuv420 wire, "
+        f"scan x{k_scan}): compile {compile_s:.1f}s, steady {step_ms:.1f} "
+        f"ms/step ({clips_n/step_ms*1000:.1f} clips/sec), "
+        f"loss {traj[0]:.4f}->{traj[-1]:.4f}"
     )
     return {
         "train_compile_s": round(compile_s, 1),
         "train_step_ms": round(step_ms, 1),
         "train_clips_per_sec": round(clips_n / step_ms * 1000.0, 1),
-        "train_loss0": round(loss0, 4),
-        "train_loss10": round(loss_n, 4),
+        "train_loss0": round(float(traj[0]), 4),
+        "train_loss_end": round(float(traj[-1]), 4),
+        "train_scan_steps": k_scan,
     }
 
 

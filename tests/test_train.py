@@ -148,6 +148,77 @@ class TestTrainStep:
             atol=1e-5,
         )
 
+    def test_scanned_step_matches_sequential(self):
+        """lax.scan over K steps ≡ K sequential dispatches (same rng chain,
+        same optimizer trajectory)."""
+        from vqwild_tpu.train.step import (
+            make_optimizer,
+            make_scanned_train_step,
+            make_train_step,
+        )
+
+        model, state, _ = small_setup("va")
+        tx = make_optimizer(1e-3, 1e-5, steps_per_epoch=4, lr_decay_epoch=9)
+        step = make_train_step(model, tx, donate=False)
+        scanned = make_scanned_train_step(model, tx, donate=False)
+        rng = np.random.default_rng(11)
+        k = 3
+        clips = rng.integers(0, 255, (k, 4, 2, 32, 32, 3), dtype=np.uint8)
+        labels = rng.integers(0, 8, (k, 4)).astype(np.int32)
+        s_seq = state
+        seq_losses = []
+        for i in range(k):
+            s_seq, l = step(s_seq, clips[i], labels[i])
+            seq_losses.append(float(l["loss"]))
+        s_scan, l_scan = scanned(state, clips, labels)
+        assert l_scan["loss"].shape == (k,)
+        # step 1 runs from identical state → tight; later steps accumulate
+        # fp reassociation differences between the scan body's fusion and the
+        # standalone step graph (distinct XLA programs), so only close
+        np.testing.assert_allclose(
+            float(l_scan["loss"][0]), seq_losses[0], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(l_scan["loss"]), seq_losses, rtol=1e-2
+        )
+        assert int(s_scan.step) == int(s_seq.step) == k
+        np.testing.assert_allclose(
+            np.asarray(s_scan.memory["visual_memory"]),
+            np.asarray(s_seq.memory["visual_memory"]),
+            atol=1e-3,
+        )
+        # Adam normalizes grads to ~lr-scale updates, so fp reassociation
+        # (scan body vs standalone program) can flip a tiny-grad element's
+        # direction — worst case 2·lr of drift per step. Bound the max drift
+        # at 2·k·lr and require near-total elementwise agreement.
+        lr = 1e-3
+        diffs = np.concatenate(
+            [
+                (np.asarray(a) - np.asarray(b)).ravel()
+                for a, b in zip(
+                    jax.tree_util.tree_leaves(s_scan.params),
+                    jax.tree_util.tree_leaves(s_seq.params),
+                )
+            ]
+        )
+        assert np.abs(diffs).max() < 2 * k * lr
+        assert (np.abs(diffs) < 1e-3).mean() > 0.99
+
+    def test_scanned_step_with_weights(self):
+        from vqwild_tpu.train.step import make_optimizer, make_scanned_train_step
+
+        model, state, _ = small_setup("baseline")
+        tx = make_optimizer(1e-3, 1e-5, steps_per_epoch=4, lr_decay_epoch=9)
+        scanned = make_scanned_train_step(model, tx, donate=False)
+        rng = np.random.default_rng(12)
+        k = 2
+        clips = rng.integers(0, 255, (k, 4, 2, 32, 32, 3), dtype=np.uint8)
+        labels = rng.integers(0, 8, (k, 4)).astype(np.int32)
+        weights = np.ones((k, 4), np.float32)
+        weights[:, -1] = 0.0
+        _, losses = scanned(state, clips, labels, weights=weights)
+        assert np.all(np.isfinite(np.asarray(losses["loss"])))
+
 
 class TestTrainLoop:
     def test_end_to_end_tiny(self, tiny_arv, tmp_path):
@@ -186,6 +257,32 @@ class TestTrainLoop:
             np.asarray(result.state.params["fc"]["kernel"]),
             atol=1e-7,
         )
+
+    def test_loop_scan_steps_with_tail(self, tiny_arv):
+        """scan_steps=2 over 5 steps/epoch: two scan windows + one per-step
+        tail; the step counter must advance exactly 5."""
+        from vqwild_tpu.train.step import make_optimizer, make_scanned_train_step
+
+        db = load_trimmed_db(tiny_arv["db_path"])
+        ds = TripletDataset(
+            db,
+            tiny_arv["spec"],
+            SyntheticFrameStore(h=48, w=56),
+            novel_num=5,
+            train_frames=2,
+            crop_size=32,
+            nclass=tiny_arv["nclass"],
+        )
+        loader = PrefetchLoader(ds, batch_size=2, steps_per_epoch=5, workers=1)
+        model, state, step = small_setup("baseline")
+        tx = make_optimizer(1e-3, 1e-5, steps_per_epoch=5, lr_decay_epoch=9)
+        scan_fn = make_scanned_train_step(model, tx, donate=False)
+        loop = TrainLoop(
+            step, loader, epochs=1, print_freq=2,
+            scan_fn=scan_fn, scan_steps=2,
+        )
+        result = loop.run(state)
+        assert int(result.state.step) == 5
 
 
 class TestMeshUtils:

@@ -86,6 +86,9 @@ def parse(argv=None) -> ExperimentConfig:
     p.add_argument("--lr_decay_rate", type=int, default=9)
     p.add_argument("--weight_decay", type=float, default=1e-5)
     p.add_argument("--accum_grad", type=int, default=1)
+    p.add_argument("--scan_steps", type=int, default=1,
+                   help=">1 runs N train steps per device dispatch (lax.scan) "
+                        "— amortizes the per-step state round trip")
     p.add_argument("--eval_per_epoch", type=int, default=2)
     p.add_argument("--manual_seed", type=int, default=0)
     p.add_argument("--print_freq", type=int, default=100)
@@ -145,6 +148,7 @@ def parse(argv=None) -> ExperimentConfig:
         lr_decay_rate=args.lr_decay_rate,
         weight_decay=args.weight_decay,
         accum_grad=args.accum_grad,
+        scan_steps=args.scan_steps,
         eval_per_epoch=args.eval_per_epoch,
         manual_seed=args.manual_seed,
         print_freq=args.print_freq,
@@ -421,6 +425,18 @@ def run_training(cfg, extra, run_dir: RunDir):
         triplet_margin=extra.get("triplet_margin", 1.0),
         wire=cfg.eval.wire,
     )
+    scan_fn = None
+    if cfg.train.scan_steps > 1:
+        from vqwild_tpu.train.step import make_scanned_train_step
+
+        scan_fn = make_scanned_train_step(
+            model,
+            tx,
+            semantic_memory=sem,
+            ranking_weight=extra.get("ranking_weight", 0.0),
+            triplet_margin=extra.get("triplet_margin", 1.0),
+            wire=cfg.eval.wire,
+        )
     mesh = make_mesh() if len(jax.devices()) > 1 else None
 
     def eval_fn(st, epoch):
@@ -481,6 +497,8 @@ def run_training(cfg, extra, run_dir: RunDir):
         mesh=mesh,
         print_freq=cfg.train.print_freq,
         start_epoch=start_epoch,
+        scan_fn=scan_fn,
+        scan_steps=cfg.train.scan_steps,
     )
     from vqwild_tpu.core.profiling import trace
 

@@ -66,6 +66,7 @@ class TrainConfig:
     lr_decay_rate: int = 9  # epoch at which lr *= 0.1 (main.py:176-191)
     weight_decay: float = 1e-5
     accum_grad: int = 1  # optimizer.step() every accum_grad steps
+    scan_steps: int = 1  # >1: lax.scan N steps per dispatch (train/step.py)
     triplet_margin: float = 1.0  # (main.py:40), used by the DML loss zoo
     eval_per_epoch: int = 2  # validate every N epochs (main.py:31)
     manual_seed: int = 0

@@ -44,6 +44,12 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def scan_batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding for scan-stacked batches [K, B, ...]: the scan axis is
+    replicated, the batch axis shards (train/loop.py scan_steps path)."""
+    return NamedSharding(mesh, P(None, axis))
+
+
 def pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0):
     """Pad (by edge-repeat) so arr.shape[axis] % multiple == 0; returns
     (padded, original_length). XLA needs equal shards per device."""

@@ -17,7 +17,11 @@ import numpy as np
 
 from vqwild_tpu.core.logging import get_logger
 from vqwild_tpu.core.meters import AverageMeter, Timer
-from vqwild_tpu.parallel.mesh import pad_to_multiple, shard_batch_arrays
+from vqwild_tpu.parallel.mesh import (
+    pad_to_multiple,
+    scan_batch_sharding,
+    shard_batch_arrays,
+)
 from vqwild_tpu.train.checkpoint import CheckpointManager
 from vqwild_tpu.train.step import TrainState
 
@@ -45,7 +49,17 @@ class TrainLoop:
         print_freq: int = 100,
         max_steps_per_epoch: Optional[int] = None,
         start_epoch: int = 0,
+        scan_fn: Optional[Callable] = None,
+        scan_steps: int = 1,
     ):
+        """``scan_fn`` + ``scan_steps`` > 1 enables the dispatch-amortized
+        inner loop (train/step.py:make_scanned_train_step): groups of
+        ``scan_steps`` batches are stacked on the host and run as ONE device
+        dispatch (lax.scan), so the ~350-buffer TrainState never round-trips
+        between dependent steps. Leftover batches (< scan_steps at epoch end)
+        fall back to ``step_fn`` — zero-weight padding would still advance
+        the optimizer (weight decay, bias correction), so it is never used
+        to fill a scan window."""
         self.step_fn = step_fn
         self.loader = loader
         self.epochs = epochs
@@ -56,6 +70,8 @@ class TrainLoop:
         self.print_freq = print_freq
         self.max_steps = max_steps_per_epoch
         self.start_epoch = start_epoch
+        self.scan_fn = scan_fn
+        self.scan_steps = scan_steps if scan_fn is not None else 1
 
     def _put(self, batch):
         """→ (wire arrays..., labels, weights-or-None), mesh-sharded.
@@ -81,6 +97,31 @@ class TrainLoop:
             weights = np.ones(n, np.float32)
         return shard_batch_arrays(self.mesh, *arrays, weights)
 
+    def _put_group(self, group):
+        """Stack ``len(group)`` loader batches along a leading scan axis →
+        (arrays [K,B,...], labels [K,B], weights [K,B]-or-None); under a mesh
+        rows pad + shard on the *second* axis (P(None, 'data'))."""
+        stacked = [
+            np.stack([b.arrays[j] for b in group])
+            for j in range(len(group[0].arrays))
+        ]
+        labels = np.stack([b.labels for b in group])
+        arrays = tuple(stacked) + (labels,)
+        if self.mesh is None:
+            return arrays + (None,)
+        shards = self.mesh.shape["data"]
+        n = labels.shape[1]
+        if n % shards:
+            arrays = tuple(pad_to_multiple(a, shards, axis=1)[0] for a in arrays)
+            weights = np.zeros(arrays[-1].shape[:2], np.float32)
+            weights[:, :n] = 1.0
+        else:
+            weights = np.ones(labels.shape[:2], np.float32)
+        sharding = scan_batch_sharding(self.mesh)
+        return tuple(
+            jax.device_put(a, sharding) for a in arrays + (weights,)
+        )
+
     def run(self, state: TrainState) -> LoopResult:
         best_score, best_epoch = -1.0, -1
         history = []
@@ -90,49 +131,99 @@ class TrainLoop:
             loss_meters: Dict[str, AverageMeter] = {}
             nsteps = 0
 
-            # one-batch lookahead: ship batch k+1 to device while step k runs
-            # (jax dispatch is async, so _put overlaps the device compute)
-            def batches():
-                it = iter(self.loader.epoch(epoch))
-                nxt = next(it, None)
-                while nxt is not None:
-                    cur = self._put(nxt)
-                    nxt = next(it, None)
-                    yield cur
+            def capped():
+                for i, b in enumerate(self.loader.epoch(epoch)):
+                    if self.max_steps is not None and i >= self.max_steps:
+                        return
+                    yield b
+
+            def drain(pending):
+                for entry in pending:
+                    for k, v in entry.items():
+                        for x in np.asarray(v).ravel():
+                            loss_meters.setdefault(k, AverageMeter()).update(float(x))
+                pending.clear()
 
             pending = []  # device-scalar losses; synced only at print time so
             # per-step readback never serializes the async dispatch queue
-            for i, arrays in enumerate(batches()):
-                if self.max_steps is not None and i >= self.max_steps:
-                    break
-                data_time.update(timer.tick())
-                *arrs, weights = arrays
-                if weights is None:
-                    state, losses = self.step_fn(state, *arrs)
-                else:
-                    state, losses = self.step_fn(state, *arrs, weights=weights)
-                nsteps += 1
-                pending.append(losses)
-                timer.tick()
-                if i % self.print_freq == 0 and i > 0:
-                    for entry in pending:
-                        for k, v in entry.items():
-                            loss_meters.setdefault(k, AverageMeter()).update(float(v))
-                    pending.clear()
-                    log.info(
-                        "[%d][%d] %s dataload=%.3fs best=%.3f",
-                        epoch,
-                        i,
-                        " ".join(
-                            f"{k}={m.avg:.4f}" for k, m in sorted(loss_meters.items())
-                        ),
-                        data_time.avg,
-                        best_score,
-                    )
-            for entry in pending:
-                for k, v in entry.items():
-                    loss_meters.setdefault(k, AverageMeter()).update(float(v))
-            pending.clear()
+            next_print = self.print_freq
+            if self.scan_steps > 1:
+                # dispatch-amortized path: scan_steps batches per XLA call
+                import itertools
+
+                it = iter(capped())
+                while True:
+                    group = list(itertools.islice(it, self.scan_steps))
+                    if not group:
+                        break
+                    data_time.update(timer.tick())
+                    if len(group) == self.scan_steps:
+                        *arrs, weights = self._put_group(group)
+                        if weights is None:
+                            state, losses = self.scan_fn(state, *arrs)
+                        else:
+                            state, losses = self.scan_fn(state, *arrs, weights=weights)
+                        nsteps += len(group)
+                        pending.append(losses)
+                    else:  # epoch tail < scan window → per-step fn
+                        for b in group:
+                            *arrs, weights = self._put(b)
+                            if weights is None:
+                                state, losses = self.step_fn(state, *arrs)
+                            else:
+                                state, losses = self.step_fn(state, *arrs, weights=weights)
+                            nsteps += 1
+                            pending.append(losses)
+                    timer.tick()
+                    if nsteps >= next_print:
+                        next_print += self.print_freq
+                        drain(pending)
+                        log.info(
+                            "[%d][%d] %s dataload=%.3fs best=%.3f",
+                            epoch,
+                            nsteps,
+                            " ".join(
+                                f"{k}={m.avg:.4f}"
+                                for k, m in sorted(loss_meters.items())
+                            ),
+                            data_time.avg,
+                            best_score,
+                        )
+            else:
+                # one-batch lookahead: ship batch k+1 to device while step k
+                # runs (jax dispatch is async, so _put overlaps the compute)
+                def batches():
+                    it = iter(capped())
+                    nxt = next(it, None)
+                    while nxt is not None:
+                        cur = self._put(nxt)
+                        nxt = next(it, None)
+                        yield cur
+
+                for i, arrays in enumerate(batches()):
+                    data_time.update(timer.tick())
+                    *arrs, weights = arrays
+                    if weights is None:
+                        state, losses = self.step_fn(state, *arrs)
+                    else:
+                        state, losses = self.step_fn(state, *arrs, weights=weights)
+                    nsteps += 1
+                    pending.append(losses)
+                    timer.tick()
+                    if i % self.print_freq == 0 and i > 0:
+                        drain(pending)
+                        log.info(
+                            "[%d][%d] %s dataload=%.3fs best=%.3f",
+                            epoch,
+                            i,
+                            " ".join(
+                                f"{k}={m.avg:.4f}"
+                                for k, m in sorted(loss_meters.items())
+                            ),
+                            data_time.avg,
+                            best_score,
+                        )
+            drain(pending)
             log.info(
                 "epoch %d done: %d steps, %s",
                 epoch,

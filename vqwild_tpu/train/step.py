@@ -94,6 +94,7 @@ def make_train_step(
     ranking_weight: float = 0.0,
     triplet_margin: float = 1.0,
     wire: str = "rgb",
+    _raw: bool = False,
 ) -> Callable:
     """ranking_weight > 0 adds a triplet ranking loss over the loader's
     (anchor, positive, negative) batch structure — the structure the reference
@@ -103,7 +104,9 @@ def make_train_step(
     ``wire="yuv420"`` makes the step consume cropped 4:2:0 planes —
     step(state, y_u8, uv_u8, labels) — with the chroma upsample + BT.601 +
     normalize fused into the jit (ops/preprocess.normalize_clips_yuv420),
-    halving the host→device transfer like the eval wire."""
+    halving the host→device transfer like the eval wire.
+
+    ``_raw=True`` returns the un-jitted step body (for make_scanned_train_step)."""
     if wire not in ("rgb", "yuv420"):
         raise ValueError(f"unknown wire format {wire!r}")
     method = model.method
@@ -202,4 +205,62 @@ def make_train_step(
         )
         return new_state, losses
 
+    if _raw:
+        return step_fn
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_scanned_train_step(
+    model: ARVModel,
+    tx: optax.GradientTransformation,
+    semantic_memory: Optional[jnp.ndarray] = None,
+    donate: bool = True,
+    ranking_weight: float = 0.0,
+    triplet_margin: float = 1.0,
+    wire: str = "rgb",
+) -> Callable:
+    """K train steps per dispatch via ``lax.scan`` — the dispatch-amortized
+    inner loop (one XLA program per K steps instead of K).
+
+    The per-step host→device round trip is pure overhead for a model this
+    size: the TrainState pytree is ~350 buffers, and materializing them
+    between dependent dispatches can cost several times the step's compute
+    (measured 415 ms/step dispatched vs ~50 ms compute on v5e behind a
+    remote relay; on-host TPU dispatch is cheaper but never free). Scanning
+    keeps the state on device for the whole window.
+
+    Returned fn: ``(state, *wire_arrays, labels, weights=None)`` where every
+    array has a leading scan axis [K, ...]; returns ``(state, losses)`` with
+    each loss stacked [K] (the per-step trajectory).
+    """
+    step_fn = make_train_step(
+        model,
+        tx,
+        semantic_memory=semantic_memory,
+        ranking_weight=ranking_weight,
+        triplet_margin=triplet_margin,
+        wire=wire,
+        _raw=True,
+    )
+
+    def scanned(state: TrainState, *wire_and_labels, weights=None):
+        from flax.core import unfreeze
+
+        # model.apply's mutable collections come back as plain dicts; the
+        # scan carry must be structure-stable, so unfreeze any FrozenDicts
+        state = state.replace(
+            batch_stats=unfreeze(state.batch_stats),
+            memory=unfreeze(state.memory),
+        )
+        xs = wire_and_labels if weights is None else wire_and_labels + (weights,)
+
+        def body(carry, batch):
+            if weights is None:
+                new_state, losses = step_fn(carry, *batch)
+            else:
+                new_state, losses = step_fn(carry, *batch[:-1], weights=batch[-1])
+            return new_state, losses
+
+        return jax.lax.scan(body, state, xs)
+
+    return jax.jit(scanned, donate_argnums=(0,) if donate else ())
