@@ -172,3 +172,33 @@ class TestMultiQueryParity:
         assert len(ref_exp) == len(our_exp)
         for r, o in zip(ref_exp, our_exp):
             assert [q["video_id"] for q in r] == [q["video_id"] for q in o]
+
+
+class TestNMSParity:
+    def test_temporal_nms_matches_reference(self, ref_db):
+        """Our temporal NMS (numpy AND native C++ when built) against the
+        reference's own nms_cpu (utils_models.py:153-174) on random
+        distinct-score fixtures (tie order is a documented divergence —
+        upstream's argsort()[::-1] leaves it unspecified)."""
+        from misc_utils.utils_models import nms_cpu as ref_nms
+
+        from vqwild_tpu.ops.nms import temporal_nms, temporal_nms_np
+
+        rng = np.random.default_rng(3)
+        for trial in range(20):
+            n = int(rng.integers(1, 60))
+            start = rng.uniform(0, 300, n)
+            length = rng.uniform(1, 60, n)
+            # distinct scores via a shuffled ladder + jitter
+            scores = rng.permutation(n).astype(np.float64) + rng.uniform(
+                0, 0.25, n
+            )
+            dets64 = np.stack([start, start + length, scores], axis=1)
+            ref_keep = list(ref_nms(dets64, 0.5))
+            ours_np = temporal_nms_np(dets64, 0.5)
+            assert ours_np == ref_keep, f"trial {trial}"
+            # the dispatching path (native engine when available) runs on
+            # float32 rows — quantize the fixture so both sides rank alike
+            dets32 = dets64.astype(np.float32)
+            ref_keep32 = list(ref_nms(dets32.astype(np.float64), 0.5))
+            assert temporal_nms(dets32, 0.5) == ref_keep32, f"trial {trial}"

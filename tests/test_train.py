@@ -204,6 +204,43 @@ class TestTrainStep:
         assert np.abs(diffs).max() < 2 * k * lr
         assert (np.abs(diffs) < 1e-3).mean() > 0.99
 
+    def test_bf16_step_matches_fp32_first_step(self):
+        """Mixed-precision (--compute_dtype bfloat16): fp32 params, bf16
+        trunk compute, fp32 CE — first-step loss within bf16 noise of fp32."""
+        from vqwild_tpu.core.config import ModelConfig
+        from vqwild_tpu.models import build_model, init_model
+        from vqwild_tpu.train.step import (
+            create_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+
+        rng = np.random.default_rng(13)
+        clips = rng.integers(0, 255, (4, 2, 32, 32, 3), dtype=np.uint8)
+        labels = rng.integers(0, 8, 4).astype(np.int32)
+        losses = {}
+        for dt in ("float32", "bfloat16"):
+            model = build_model(
+                ModelConfig(method="va", nclass=8, semantic_dim=16, compute_dtype=dt)
+            )
+            params, sv = init_model(
+                model, jax.random.PRNGKey(0), (2, 2, 32, 32, 3), semantic_dim=16
+            )
+            # params are fp32 regardless of compute dtype (mixed precision)
+            assert all(
+                np.asarray(p).dtype == np.float32
+                for p in jax.tree_util.tree_leaves(params)
+            )
+            tx = make_optimizer(1e-3, 1e-5, steps_per_epoch=4, lr_decay_epoch=9)
+            state = create_train_state(model, params, sv, tx, jax.random.PRNGKey(1))
+            step = make_train_step(model, tx, donate=False)
+            _, l = step(state, clips, labels)
+            losses[dt] = float(l["loss"])
+            assert np.isfinite(losses[dt])
+        assert abs(losses["bfloat16"] - losses["float32"]) < 0.1 * abs(
+            losses["float32"]
+        )
+
     def test_scanned_step_with_weights(self):
         from vqwild_tpu.train.step import make_optimizer, make_scanned_train_step
 

@@ -86,6 +86,11 @@ def parse(argv=None) -> ExperimentConfig:
     p.add_argument("--lr_decay_rate", type=int, default=9)
     p.add_argument("--weight_decay", type=float, default=1e-5)
     p.add_argument("--accum_grad", type=int, default=1)
+    p.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="model compute dtype; bfloat16 = mixed-precision "
+                        "training (fp32 params/losses, ~1.3x step speedup "
+                        "on TPU; float32 matches reference numerics)")
     p.add_argument("--scan_steps", type=int, default=1,
                    help=">1 runs N train steps per device dispatch (lax.scan) "
                         "— amortizes the per-step state round trip")
@@ -141,6 +146,7 @@ def parse(argv=None) -> ExperimentConfig:
         dropout=args.dropout,
         moving_average=args.moving_average,
         semantic_dim=infer_semantic_dim(args.semantic_json),
+        compute_dtype=args.compute_dtype,
     )
     train = TrainConfig(
         epochs=2 if args.debug else args.epochs,

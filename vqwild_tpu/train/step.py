@@ -153,19 +153,24 @@ def make_train_step(
                     return per_row.mean()
                 return (per_row * weights).sum() / jnp.maximum(weights.sum(), 1.0)
 
+            def xent(logits):
+                # CE always in fp32: under bf16 compute (mixed-precision
+                # training) the softmax/log must not run at 8-bit mantissa
+                return ce(logits.astype(jnp.float32), labels)
+
             if method == "baseline":
-                ce_loss = wmean(ce(out.logits, labels))
+                ce_loss = wmean(xent(out.logits))
                 losses = {"ce_loss": ce_loss}
                 total = ce_loss
             elif method == "va":
-                ce_loss = wmean(ce(out.nled_logits, labels))
-                reg_loss = wmean(ce(out.reg_logits, labels))
+                ce_loss = wmean(xent(out.nled_logits))
+                reg_loss = wmean(xent(out.reg_logits))
                 losses = {"ce_loss": ce_loss, "reg_loss": reg_loss}
                 total = ce_loss + reg_loss
             else:  # vasa
-                ce_loss = wmean(ce(out.nled_logits, labels))
-                reg_loss = wmean(ce(out.reg_logits, labels))
-                word_loss = wmean(ce(out.word_logits, labels))
+                ce_loss = wmean(xent(out.nled_logits))
+                reg_loss = wmean(xent(out.reg_logits))
+                word_loss = wmean(xent(out.word_logits))
                 losses = {
                     "ce_loss": ce_loss,
                     "reg_loss": reg_loss,
