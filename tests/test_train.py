@@ -128,6 +128,34 @@ class TestTrainStep:
         touched = np.linalg.norm(mem, axis=1) > 0
         assert touched.sum() == len(set(labels.tolist()))
 
+    def test_scanned_step_under_mesh(self):
+        """Scan-stacked batches [K,B,...] shard P(None,'data') over the
+        8-device mesh; the scan carry stays consistent across replicas."""
+        from vqwild_tpu.parallel.mesh import scan_batch_sharding
+        from vqwild_tpu.train.step import make_optimizer, make_scanned_train_step
+
+        mesh = make_mesh()
+        model, state, _ = small_setup("va")
+        tx = make_optimizer(1e-3, 1e-5, steps_per_epoch=4, lr_decay_epoch=9)
+        scanned = make_scanned_train_step(model, tx, donate=False)
+        rng = np.random.default_rng(21)
+        k = 2
+        clips = rng.integers(0, 255, (k, 8, 2, 32, 32, 3), dtype=np.uint8)
+        labels = rng.integers(0, 8, (k, 8)).astype(np.int32)
+        sharding = scan_batch_sharding(mesh)
+        clips_s = jax.device_put(clips, sharding)
+        labels_s = jax.device_put(labels, sharding)
+        s_mesh, l_mesh = scanned(state, clips_s, labels_s)
+        assert l_mesh["loss"].shape == (k,)
+        assert np.all(np.isfinite(np.asarray(l_mesh["loss"])))
+        # single-device reference trajectory
+        model2, state2, _ = small_setup("va")
+        scanned2 = make_scanned_train_step(model2, tx, donate=False)
+        _, l_one = scanned2(state2, clips, labels)
+        np.testing.assert_allclose(
+            np.asarray(l_mesh["loss"]), np.asarray(l_one["loss"]), rtol=1e-2
+        )
+
     def test_sharded_matches_single_device(self):
         """Global-batch semantics: sharding must not change the math."""
         model, state, step = small_setup("va")
