@@ -181,7 +181,16 @@ def bench_train() -> dict:
     Flagship vasa method at the reference's production shapes — batch 10
     triplets = 30 clips × 32 frames × 112² (main.py:27-52) — on the YUV 4:2:0
     train wire. Data stays device-resident so the number is the chip's step
-    rate, not the relay's."""
+    rate, not the relay's. Measured at fp32 (the reference's training dtype)
+    and at the opt-in --compute_dtype bfloat16 mixed-precision config."""
+    nclass, sem_dim, clips_n, k_scan = 200, 200, 30, 16
+    out = {}
+    for dtype_name in ("float32", "bfloat16"):
+        out.update(_bench_train_dtype(dtype_name, nclass, sem_dim, clips_n, k_scan))
+    return out
+
+
+def _bench_train_dtype(dtype_name, nclass, sem_dim, clips_n, k_scan) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -193,9 +202,11 @@ def bench_train() -> dict:
         make_scanned_train_step,
     )
 
-    nclass, sem_dim, clips_n, k_scan = 200, 200, 30, 16
     model = build_model(
-        ModelConfig(method="vasa", nclass=nclass, semantic_dim=sem_dim)
+        ModelConfig(
+            method="vasa", nclass=nclass, semantic_dim=sem_dim,
+            compute_dtype=dtype_name,
+        )
     )
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
@@ -244,10 +255,15 @@ def bench_train() -> dict:
     step_ms = best / k_scan * 1000.0
     log(
         f"train step (vasa, {clips_n}x{FRAMES}x{CROP}², yuv420 wire, "
-        f"scan x{k_scan}): compile {compile_s:.1f}s, steady {step_ms:.1f} "
-        f"ms/step ({clips_n/step_ms*1000:.1f} clips/sec), "
+        f"{dtype_name}, scan x{k_scan}): compile {compile_s:.1f}s, steady "
+        f"{step_ms:.1f} ms/step ({clips_n/step_ms*1000:.1f} clips/sec), "
         f"loss {traj[0]:.4f}->{traj[-1]:.4f}"
     )
+    if dtype_name == "bfloat16":
+        return {
+            "train_step_ms_bf16": round(step_ms, 1),
+            "train_clips_per_sec_bf16": round(clips_n / step_ms * 1000.0, 1),
+        }
     return {
         "train_compile_s": round(compile_s, 1),
         "train_step_ms": round(step_ms, 1),
