@@ -123,6 +123,63 @@ class TestARVModel:
             atol=1e-5,
         )
 
+    def test_stem_s2d_lowering_parity(self):
+        """stem_s2d=True is the same math on the same [7,7,3,64] parameter:
+        identical param tree, matching fwd (train+eval), batch stats, and
+        grads — only the conv lowering differs (resnet_f2f._Stem7x7S2D)."""
+        m0 = ARVModel(method="baseline", nclass=10, stem_s2d=False)
+        m1 = ARVModel(method="baseline", nclass=10, stem_s2d=True)
+        params, state = init_model(m0, jax.random.PRNGKey(0), (1, 2, 32, 32, 3))
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(size=(2, 3, 32, 32, 3)), jnp.float32)
+        t = jnp.array([1, 2], jnp.int32)
+
+        e0 = m0.apply({"params": params, **state}, x, train=False)
+        e1 = m1.apply({"params": params, **state}, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(e0.frame_embed), np.asarray(e1.frame_embed), atol=1e-4
+        )
+
+        def loss(model):
+            def f(p):
+                out, muts = model.apply(
+                    {"params": p, **state}, x, targets=t, train=True,
+                    mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(3)},
+                )
+                return jnp.mean(out.logits**2), muts
+            return f
+
+        (l0, mut0), g0 = jax.value_and_grad(loss(m0), has_aux=True)(params)
+        (l1, mut1), g1 = jax.value_and_grad(loss(m1), has_aux=True)(params)
+        assert jax.tree_util.tree_structure(g0) == jax.tree_util.tree_structure(g1)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-4)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(mut0["batch_stats"]),
+            jax.tree_util.tree_leaves(mut1["batch_stats"]),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+            # The isolated stem's grads match to ~4e-7 relative; end-to-end,
+            # fp32 reassociation at the fwd-parity level (~1e-4) is amplified
+            # by the BN-train chain's conditioning — a measured 1e-4 *input*
+            # perturbation moves same-lowering grads by ~5% in the worst
+            # leaf. Compare in norm against that envelope, not element-wise.
+            a = np.asarray(a, np.float64)
+            b = np.asarray(b, np.float64)
+            rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12)
+            assert rel < 3e-2, rel
+
+    def test_stem_s2d_odd_input_falls_back(self):
+        """Odd spatial dims can't space-to-depth; the conv7 path must engage
+        with the same parameter tree."""
+        m1 = ARVModel(method="baseline", nclass=10, stem_s2d=True)
+        params, state = init_model(m1, jax.random.PRNGKey(0), (1, 2, 32, 32, 3))
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(1, 2, 31, 33, 3)), jnp.float32
+        )
+        out = m1.apply({"params": params, **state}, x, train=False)
+        assert out.frame_embed.shape == (1, 2, 512)
+
     def test_gradients_flow(self):
         model = small_model("va")
         params, state = init_model(model, jax.random.PRNGKey(0), (2, 2, 32, 32, 3))

@@ -91,6 +91,10 @@ def parse(argv=None) -> ExperimentConfig:
                    help="model compute dtype; bfloat16 = mixed-precision "
                         "training (fp32 params/losses, ~1.3x step speedup "
                         "on TPU; float32 matches reference numerics)")
+    p.add_argument("--stem_s2d", action="store_true",
+                   help="lower the 7x7/2 stem conv as a 4x4/1 conv over "
+                        "space-to-depth input at train time (exact same math "
+                        "and checkpoint layout, MXU-friendly contraction)")
     p.add_argument("--scan_steps", type=int, default=1,
                    help=">1 runs N train steps per device dispatch (lax.scan) "
                         "— amortizes the per-step state round trip")
@@ -147,6 +151,7 @@ def parse(argv=None) -> ExperimentConfig:
         moving_average=args.moving_average,
         semantic_dim=infer_semantic_dim(args.semantic_json),
         compute_dtype=args.compute_dtype,
+        stem_s2d=args.stem_s2d,
     )
     train = TrainConfig(
         epochs=2 if args.debug else args.epochs,

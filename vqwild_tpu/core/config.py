@@ -55,6 +55,9 @@ class ModelConfig:
     bn_momentum: float = 0.01  # torch convention: new = (1-m)*old + m*batch
     compute_dtype: str = "float32"  # "bfloat16" on TPU for the trunk
     param_dtype: str = "float32"
+    # compute the 7x7/2 stem as a 4x4/1 conv over space-to-depth input at
+    # train time (exact math, same [7,7,3,64] parameter; models/resnet_f2f.py)
+    stem_s2d: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -78,6 +78,7 @@ class ARVModel(nn.Module):
     semantic_dim: int = 200
     bn_eps: float = 1e-3
     bn_momentum: float = 0.99
+    stem_s2d: bool = False  # MXU-friendly stem lowering (resnet_f2f._Stem7x7S2D)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -97,6 +98,7 @@ class ARVModel(nn.Module):
         frame_embed = ResNet18F2F(
             bn_eps=self.bn_eps,
             bn_momentum=self.bn_momentum,
+            stem_s2d=self.stem_s2d,
             dtype=self.dtype,
             name="trunk",
         )(x, train=train)
@@ -165,6 +167,7 @@ def build_model(cfg) -> ARVModel:
         semantic_dim=cfg.semantic_dim,
         bn_eps=cfg.bn_eps,
         bn_momentum=1.0 - cfg.bn_momentum,  # torch → flax convention
+        stem_s2d=cfg.stem_s2d,
         dtype=jnp.dtype(cfg.compute_dtype),
     )
 

@@ -25,10 +25,62 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 conv_kaiming_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class _Stem7x7S2D(nn.Module):
+    """The 7x7/2 stem computed as a 4x4/1 conv over 2x2 space-to-depth input.
+
+    Mathematically identical to ``nn.Conv(64, (7,7), strides 2, pad 3)`` (the
+    MLPerf-ResNet stem trick, see models/fold.py:44-76) but MXU-friendly at
+    *train* time too: the contraction is 4·4·12=192 wide instead of a
+    stride-2 7x7 over 3 channels. The trained parameter stays the reference
+    [7,7,3,64] kernel at the same pytree path (``conv1/kernel``) — the fixed
+    linear kernel re-index below is inside the graph, so gradients (and thus
+    Adam moments, checkpoints, the torch importer) are exactly those of the
+    7x7 parameterization.
+    """
+
+    features: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param(
+            "kernel", conv_kaiming_init, (7, 7, 3, self.features), jnp.float32
+        )
+        # ks[a,b,(r*2+s)*3+c,o] = k[2(a-2)+r+3, 2(b-2)+s+3, c, o] (zero where
+        # the source tap falls outside the 7x7 support) — static indexing,
+        # exact gradient flow
+        zero = jnp.zeros_like(k[0, 0])
+        rows = []
+        for a in range(4):
+            cols = []
+            for b in range(4):
+                taps = []
+                for r in range(2):
+                    for s in range(2):
+                        sh, sw = 2 * (a - 2) + r + 3, 2 * (b - 2) + s + 3
+                        taps.append(
+                            k[sh, sw] if 0 <= sh < 7 and 0 <= sw < 7 else zero
+                        )
+                cols.append(jnp.concatenate(taps, axis=0))  # [12, F]
+            rows.append(jnp.stack(cols, axis=0))  # [4, 12, F]
+        ks = jnp.stack(rows, axis=0).astype(self.dtype)  # [4, 4, 12, F]
+
+        n, h, w, c = x.shape
+        xs = x.reshape(n, h // 2, 2, w // 2, 2, c)
+        xs = jnp.transpose(xs, (0, 1, 3, 2, 4, 5)).reshape(
+            n, h // 2, w // 2, 4 * c
+        )
+        return jax.lax.conv_general_dilated(
+            xs, ks, (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
 
 
 class BasicBlock(nn.Module):
@@ -89,6 +141,7 @@ class ResNet18F2F(nn.Module):
     stage_planes: Sequence[int] = (64, 128, 256, 512)
     bn_eps: float = 1e-3
     bn_momentum: float = 0.99
+    stem_s2d: bool = False  # same math, MXU-friendly lowering (_Stem7x7S2D)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -96,16 +149,19 @@ class ResNet18F2F(nn.Module):
         b, t = x.shape[0], x.shape[1]
         x = x.reshape((b * t,) + x.shape[2:]).astype(self.dtype)
 
-        x = nn.Conv(
-            64,
-            (7, 7),
-            strides=(2, 2),
-            padding=((3, 3), (3, 3)),
-            use_bias=False,
-            kernel_init=conv_kaiming_init,
-            dtype=self.dtype,
-            name="conv1",
-        )(x)
+        if self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            x = _Stem7x7S2D(64, dtype=self.dtype, name="conv1")(x)
+        else:
+            x = nn.Conv(
+                64,
+                (7, 7),
+                strides=(2, 2),
+                padding=((3, 3), (3, 3)),
+                use_bias=False,
+                kernel_init=conv_kaiming_init,
+                dtype=self.dtype,
+                name="conv1",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             epsilon=self.bn_eps,
