@@ -151,6 +151,39 @@ def bench_jax() -> float:
         f"{jax.devices()[0].device_kind} bf16 peak)"
     )
 
+    # int8 PTQ serving trunk (models/quant.py): same contract, calibrated on
+    # one batch; reported separately from the float mfu numbers
+    int8_cps = 0.0
+    try:
+        from vqwild_tpu.models import quant as quant_mod
+
+        with jax.default_device(cpu):
+            # calibration float-shadow compiles on CPU (cheap); the int8
+            # params are then committed to the accelerator — they are jit
+            # arguments, so their device decides where the graph runs
+            calib = quant_mod.calibrate_trunk(
+                {"params": params, **state_vars},
+                bufs[0][0][:2, :4], bufs[0][1][:2, :4],
+            )
+        f_i8 = quant_mod.make_int8_embed_fn(
+            {"params": params, **state_vars}, None,
+            calib=calib, device=jax.devices()[0],
+        )
+        r = f_i8(*dresident)
+        np.asarray(r[0, :2, 0])
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(reps):
+                r = f_i8(*dresident)
+            np.asarray(r[0, :2, 0])
+            int8_cps = max(int8_cps, BATCH * reps / (time.time() - t0))
+        log(
+            f"int8 PTQ trunk: {int8_cps:.1f} clips/sec "
+            f"({int8_cps/max(dev_cps,1e-9):.2f}x the bf16 trunk)"
+        )
+    except Exception as e:  # quant bench must never sink the headline metric
+        log(f"int8 bench failed: {e!r}")
+
     # p50 single-query ranking latency: 1 query vs 10k-gallery exact L2 + sort
     from vqwild_tpu.ops.distance import score_matrix
     from vqwild_tpu.ops.ranking import ranked_retrieval_metrics
@@ -171,7 +204,7 @@ def bench_jax() -> float:
         np.asarray(one_query(q1))
         lats.append(time.time() - t0)
     log(f"p50 query latency (1x10k gallery, rank+AP): {sorted(lats)[5]*1000:.1f} ms")
-    return cps, round(dev_cps, 1), round(mfu_pct, 1)
+    return cps, round(dev_cps, 1), round(mfu_pct, 1), round(int8_cps, 1)
 
 
 def bench_train() -> dict:
@@ -311,7 +344,7 @@ def bench_torch_reference() -> float:
 
 
 def main():
-    value, dev_cps, mfu_pct = bench_jax()
+    value, dev_cps, mfu_pct, int8_cps = bench_jax()
     try:
         train = bench_train()
     except Exception as e:  # train bench must never sink the headline metric
@@ -328,6 +361,7 @@ def main():
                 "vs_baseline": round(vs, 2),
                 "device_resident_cps": dev_cps,
                 "mfu_pct": mfu_pct,
+                "device_resident_cps_int8": int8_cps,
                 **train,
             }
         )

@@ -125,6 +125,11 @@ def parse(argv=None) -> ExperimentConfig:
                         "during trimmed/clip/moment eval")
     p.add_argument("--wire", choices=["rgb", "yuv420"], default="rgb",
                    help="host→device wire format; yuv420 halves transfer bytes")
+    p.add_argument("--trunk_int8", action="store_true",
+                   help="serve feature extraction through the int8 "
+                        "post-training-quantized trunk (requires --wire "
+                        "yuv420; ~1.33x device throughput, calibrated on "
+                        "the first batch — models/quant.py)")
     p.add_argument("--profile", action="store_true", help="write a jax.profiler trace")
     p.add_argument("--resume", action="store_true",
                    help="resume training from the run dir's 'last' checkpoint")
@@ -173,6 +178,7 @@ def parse(argv=None) -> ExperimentConfig:
         fake_features=args.memory_leak_debug,
         collect_diagnostics=args.collect_diagnostics,
         wire=args.wire,
+        trunk_quant="int8" if args.trunk_int8 else None,
     )
     cfg = ExperimentConfig(data=data, model=model, train=train, eval=ev, run_dir=args.run_dir)
     cfg_extra = dict(
@@ -294,7 +300,8 @@ def run_evaluation(cfg, extra, run_dir: RunDir):
         variables = load_variables(
             extra.get("test_load", ""), cfg.model.method, model, params, state_vars
         )
-        feat_fn = make_feat_fn(model, variables, mesh=mesh, wire=cfg.eval.wire)
+        feat_fn = make_feat_fn(model, variables, mesh=mesh, wire=cfg.eval.wire,
+                               quant=cfg.eval.trunk_quant)
     extractor = FeatureExtractor(
         feat_fn,
         store,
@@ -455,7 +462,8 @@ def run_training(cfg, extra, run_dir: RunDir):
         if st.memory:
             variables["memory"] = st.memory
         extractor = FeatureExtractor(
-            make_feat_fn(model, variables, mesh=mesh, wire=cfg.eval.wire),
+            make_feat_fn(model, variables, mesh=mesh, wire=cfg.eval.wire,
+                         quant=cfg.eval.trunk_quant),
             store,
             test_frames=cfg.data.test_frame,
             test_batch_size=cfg.data.test_batch_size,

@@ -99,6 +99,9 @@ class EvalConfig:
     robust_map: bool = True  # y_true[-1]=1 quirk (dataloader:389, :434)
     rank_chunk: int = 256  # queries ranked per device batch
     wire: str = "rgb"  # host→device wire format: rgb | yuv420 (ops/preprocess)
+    # serve feature extraction through the int8 PTQ trunk (models/quant.py;
+    # requires wire="yuv420"); None = float trunk
+    trunk_quant: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -33,7 +33,8 @@ log = get_logger("retrieval.features")
 
 
 def make_feat_fn(
-    model, variables, mesh=None, wire: str = "rgb", folded: bool = True
+    model, variables, mesh=None, wire: str = "rgb", folded: bool = True,
+    quant: Optional[str] = None,
 ) -> Callable:
     """Returns f(clips [B,T,s,s,C] uint8-cropped or float) → np [B, C, T],
     frame embeddings L2-normalized across channels (main.py:232). uint8 input
@@ -50,11 +51,41 @@ def make_feat_fn(
     throughput, exact modulo the out-of-gamut clip — see
     fold.stem_to_yuv_s2d). ``folded=False`` keeps the trained module's graph.
 
+    ``quant="int8"`` (yuv420 wire only) serves the post-training-quantized
+    trunk (models/quant.py, ~1.33x device throughput on v5e): calibration
+    runs a float shadow on the FIRST batch this fn sees, then every batch —
+    including that one — is embedded through the int8 graph, so features are
+    uniform and deterministic given the batch stream.
+
     With a mesh, extraction batches shard over the ``data`` axis (rows are
     edge-padded to the shard multiple and cropped after) — the multi-chip
     feature-extraction path."""
 
-    if folded:
+    if quant is not None:
+        if quant != "int8":
+            raise ValueError(f"unknown quant mode {quant!r}")
+        if wire != "yuv420":
+            raise ValueError("quant='int8' requires wire='yuv420'")
+        from vqwild_tpu.models import quant as quant_mod
+
+        cell: dict = {}
+
+        def _fwd(*planes):
+            if "fn" not in cell:
+                calib = tuple(np.asarray(p) for p in planes)
+                dev = None
+                if mesh is not None:
+                    # params replicate over the mesh (they are jit args;
+                    # their sharding must compose with the sharded batch)
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    dev = NamedSharding(mesh, PartitionSpec())
+                cell["fn"] = quant_mod.make_int8_embed_fn(
+                    variables, calib, device=dev
+                )
+            return cell["fn"](*planes)
+
+    elif folded:
         from vqwild_tpu.models.fold import make_embed_fn
 
         _fwd = jax.jit(
