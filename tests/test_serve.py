@@ -1,0 +1,186 @@
+"""Serving layer: gallery index, micro-batched service, HTTP front-end."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from vqwild_tpu.serve.index import GalleryIndex
+from vqwild_tpu.serve.service import QueryService
+
+
+def _mk_index(n=50, c=16, seed=0, mesh=None):
+    rng = np.random.default_rng(seed)
+    feats = rng.normal(size=(n, c)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    meta = [
+        {"video_id": f"v{i:03d}", "label": f"cls{i % 7}", "retrieval_type": "base"}
+        for i in range(n)
+    ]
+    return GalleryIndex(feats, meta, mesh=mesh), feats
+
+
+class TestGalleryIndex:
+    def test_topk_matches_bruteforce(self):
+        index, feats = _mk_index()
+        rng = np.random.default_rng(1)
+        q = rng.normal(size=(3, 16)).astype(np.float32)
+        scores, rows = index.topk(q, k=5)
+        d = ((q[:, None, :] - feats[None, :, :]) ** 2).sum(-1)  # [3, N]
+        want_rows = np.argsort(d, axis=1)[:, :5]
+        np.testing.assert_array_equal(rows, want_rows)
+        np.testing.assert_allclose(
+            scores, -np.take_along_axis(d, want_rows, axis=1), rtol=1e-4, atol=1e-4
+        )
+
+    def test_topk_masks_mesh_padding(self):
+        from vqwild_tpu.parallel.mesh import make_mesh
+
+        # 50 rows over 8 shards → 6 padded rows that must never surface
+        index, feats = _mk_index(mesh=make_mesh())
+        q = np.random.default_rng(2).normal(size=(2, 16)).astype(np.float32)
+        _, rows = index.topk(q, k=50)
+        assert rows.max() < 50
+
+    def test_save_load_roundtrip(self, tmp_path):
+        index, _ = _mk_index(n=12)
+        index.save(str(tmp_path / "idx"))
+        loaded = GalleryIndex.load(str(tmp_path / "idx"))
+        assert loaded.n == 12
+        q = np.random.default_rng(3).normal(size=(1, 16)).astype(np.float32)
+        np.testing.assert_array_equal(index.topk(q, 4)[1], loaded.topk(q, 4)[1])
+        assert loaded.meta[5]["video_id"] == "v005"
+
+
+class TestQueryService:
+    def test_single_query(self):
+        index, feats = _mk_index()
+        svc = QueryService(index, max_wait_ms=1.0)
+        try:
+            res = svc.query_features(feats[17], k=3)
+        finally:
+            svc.close()
+        assert res[0]["video_id"] == "v017"  # own row is the closest
+        assert res[0]["rank"] == 0 and res[0]["score"] >= res[1]["score"]
+        assert len(res) == 3
+
+    def test_concurrent_queries_batch_correctly(self):
+        index, feats = _mk_index()
+        svc = QueryService(index, max_batch=8, max_wait_ms=20.0)
+        results = {}
+
+        def one(i):
+            results[i] = svc.query_features(feats[i], k=1)
+
+        threads = [threading.Thread(target=one, args=(i,)) for i in range(12)]
+        try:
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        finally:
+            svc.close()
+        for i in range(12):
+            assert results[i][0]["video_id"] == f"v{i:03d}", results[i]
+
+    def test_mixed_k(self):
+        index, feats = _mk_index()
+        svc = QueryService(index, max_wait_ms=1.0)
+        try:
+            assert len(svc.query_features(feats[0], k=7)) == 7
+            assert len(svc.query_features(feats[0], k=2)) == 2
+        finally:
+            svc.close()
+
+    def test_query_clip_uses_embed_fn(self):
+        index, feats = _mk_index(c=16)
+
+        def fake_embed(y, uv):  # [B,T,s,s] → [B, C, T]
+            b, t = y.shape[0], y.shape[1]
+            out = np.zeros((b, 16, t), np.float32)
+            out[:, :, :] = feats[23][None, :, None]
+            return out
+
+        svc = QueryService(index, embed_fn=fake_embed, max_wait_ms=1.0)
+        try:
+            res = svc.query_clip(
+                np.zeros((2, 8, 8), np.uint8), np.zeros((2, 4, 4, 2), np.uint8), k=1
+            )
+        finally:
+            svc.close()
+        assert res[0]["video_id"] == "v023"
+
+    def test_error_propagates(self):
+        index, _ = _mk_index()
+        svc = QueryService(index, max_wait_ms=1.0)
+        try:
+            with pytest.raises(Exception):
+                svc.query_features(np.zeros((3,), np.float32))  # wrong dim
+        finally:
+            svc.close()
+
+
+class TestHTTP:
+    @pytest.fixture()
+    def server(self):
+        from vqwild_tpu.serve.http import make_server
+
+        index, feats = _mk_index()
+
+        def fake_embed(y, uv):
+            b, t = y.shape[0], y.shape[1]
+            out = np.zeros((b, 16, t), np.float32)
+            out[:, :, :] = feats[7][None, :, None]
+            return out
+
+        svc = QueryService(index, embed_fn=fake_embed, max_wait_ms=1.0)
+        srv = make_server(svc, host="127.0.0.1", port=0)
+        thread = threading.Thread(target=srv.serve_forever, daemon=True)
+        thread.start()
+        yield srv, feats
+        srv.shutdown()
+        svc.close()
+
+    def test_healthz(self, server):
+        srv, _ = server
+        url = f"http://127.0.0.1:{srv.server_address[1]}/healthz"
+        with urllib.request.urlopen(url) as r:
+            body = json.load(r)
+        assert body == {"ok": True, "gallery": 50}
+
+    def test_query_features_roundtrip(self, server):
+        srv, feats = server
+        url = f"http://127.0.0.1:{srv.server_address[1]}/query/features"
+        req = urllib.request.Request(
+            url, data=json.dumps({"feature": feats[11].tolist(), "k": 2}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            body = json.load(r)
+        assert body["results"][0]["video_id"] == "v011"
+        assert len(body["results"]) == 2
+
+    def test_query_clip_npz(self, server):
+        srv, _ = server
+        buf = io.BytesIO()
+        np.savez(
+            buf,
+            y=np.zeros((2, 8, 8), np.uint8),
+            uv=np.zeros((2, 4, 4, 2), np.uint8),
+        )
+        url = f"http://127.0.0.1:{srv.server_address[1]}/query/clip?k=1"
+        req = urllib.request.Request(url, data=buf.getvalue())
+        with urllib.request.urlopen(req) as r:
+            body = json.load(r)
+        assert body["results"][0]["video_id"] == "v007"
+
+    def test_bad_request(self, server):
+        srv, _ = server
+        url = f"http://127.0.0.1:{srv.server_address[1]}/query/features"
+        req = urllib.request.Request(url, data=b"not json")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
