@@ -38,6 +38,10 @@ class TestParse:
         cfg, _ = cli.parse(["--evaluate"])
         assert cfg.eval.read_cache_feat
 
+    def test_export_torch_flag(self):
+        _, extra = cli.parse(["--export_torch", "/tmp/out.pth.tar"])
+        assert extra["export_torch"] == "/tmp/out.pth.tar"
+
     def test_semantic_dim_inference(self):
         cfg, _ = cli.parse(["--semantic_json", "wordembed_fasttext_d300.json"])
         assert cfg.model.semantic_dim == 300

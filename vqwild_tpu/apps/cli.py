@@ -133,6 +133,10 @@ def parse(argv=None) -> ExperimentConfig:
     p.add_argument("--profile", action="store_true", help="write a jax.profiler trace")
     p.add_argument("--resume", action="store_true",
                    help="resume training from the run dir's 'last' checkpoint")
+    p.add_argument("--export_torch", default="",
+                   help="convert --test_load into a reference-compatible "
+                        "best.pth.tar at this path, then exit "
+                        "(models/torch_export.py)")
     args = p.parse_args(argv)
 
     data = DataConfig(
@@ -191,6 +195,7 @@ def parse(argv=None) -> ExperimentConfig:
         eval_moment=args.eval_moment,
         eval_all=args.eval_all,
         test_load=args.test_load,
+        export_torch=args.export_torch,
     )
     return cfg, cfg_extra
 
@@ -537,8 +542,23 @@ def run_training(cfg, extra, run_dir: RunDir):
     return {"best_ap": result.best_score}
 
 
+def run_export_torch(cfg, extra) -> None:
+    """Convert --test_load (orbax dir or .pth) into a reference-compatible
+    best.pth.tar at --export_torch (models/torch_export.py)."""
+    from vqwild_tpu.models.torch_export import save_reference_checkpoint
+
+    _, _, _, model, params, state_vars, _, _ = build_stack(cfg)
+    variables = load_variables(
+        extra.get("test_load", ""), cfg.model.method, model, params, state_vars
+    )
+    save_reference_checkpoint(extra["export_torch"], variables, cfg.model.method)
+    log.info("exported reference checkpoint: %s", extra["export_torch"])
+
+
 def main(argv=None):
     cfg, extra = parse(argv)
+    if extra.get("export_torch"):
+        return run_export_torch(cfg, extra)
     run_dir = RunDir.create(cfg)
     log.info("run dir: %s", run_dir.path)
     if extra["evaluate"]:
