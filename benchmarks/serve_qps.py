@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Query-serving QPS / latency on the real TPU.
+
+Drives serve.QueryService (micro-batcher + device ranking) with concurrent
+client threads issuing feature queries against a production-size gallery,
+and reports sustained QPS and p50/p99 latency for several concurrency
+levels. Run on the TPU host: `python benchmarks/serve_qps.py [gallery_n]`.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from vqwild_tpu.serve.index import GalleryIndex
+    from vqwild_tpu.serve.service import QueryService
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    c = 512
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(n, c)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    meta = [{"video_id": f"v{i}", "label": "x", "retrieval_type": "base"}
+            for i in range(n)]
+    index = GalleryIndex(feats, meta)
+    log(f"gallery: {n}x{c} on {jax.devices()[0].device_kind}")
+
+    qfeats = rng.normal(size=(4096, c)).astype(np.float32)
+
+    # warm every batch bucket the micro-batcher can produce (compiles once
+    # per power-of-two shape; see serve.index._masked_topk)
+    for b in (1, 2, 4, 8, 16, 32):
+        index.topk(qfeats[:b], k=30)
+    log("buckets warm")
+
+    for conc in (1, 8, 32):
+        svc = QueryService(index, max_batch=32, max_wait_ms=2.0)
+        lat: list = []
+        lock = threading.Lock()
+        stop = time.monotonic() + 10.0
+
+        def client(ci):
+            mine = []
+            i = ci
+            while time.monotonic() < stop:
+                t0 = time.monotonic()
+                svc.query_features(qfeats[i % len(qfeats)], k=30)
+                mine.append(time.monotonic() - t0)
+                i += conc
+            with lock:
+                lat.extend(mine)
+
+        svc.query_features(qfeats[0], k=30)  # service warm
+        stop = time.monotonic() + 10.0       # window starts after warm-up
+        threads = [threading.Thread(target=client, args=(ci,)) for ci in range(conc)]
+        t0 = time.monotonic()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.monotonic() - t0
+        svc.close()
+        if not lat:
+            log(f"conc={conc:3d}: no queries completed")
+            continue
+        lat.sort()
+        log(
+            f"conc={conc:3d}: {len(lat)/dt:8.1f} qps  "
+            f"p50={lat[len(lat)//2]*1000:6.1f} ms  "
+            f"p99={lat[int(len(lat)*0.99)]*1000:6.1f} ms"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,85 @@ class TestGalleryIndex:
         assert loaded.meta[5]["video_id"] == "v005"
 
 
+def _mk_moment_index(n_videos=6, per_video=40, c=16, seed=4):
+    rng = np.random.default_rng(seed)
+    g = n_videos * per_video
+    feats = rng.normal(size=(g, c)).astype(np.float32)
+    vidx = np.repeat(np.arange(n_videos), per_video)
+    starts = rng.uniform(0, 80, g)
+    ends = starts + rng.uniform(3, 40, g)
+    from vqwild_tpu.serve.index import MomentIndex
+
+    idx = MomentIndex(
+        feats, [f"u{i}" for i in range(n_videos)], vidx, starts, ends
+    )
+    return idx, feats, vidx, starts, ends
+
+
+def _brute_moments(q, feats, vidx, starts, ends, k, thr):
+    from vqwild_tpu.ops.nms import temporal_nms_np
+
+    scores = -((q[None, :] - feats) ** 2).sum(-1)
+    surv = []
+    for v in np.unique(vidx):
+        rows = np.nonzero(vidx == v)[0]
+        dets = np.stack([starts[rows], ends[rows], scores[rows]], axis=1)
+        for ki in temporal_nms_np(dets, thr):
+            surv.append((float(scores[rows[ki]]), int(rows[ki])))
+    surv.sort(key=lambda t: -t[0])
+    return surv[:k]
+
+
+class TestMomentIndex:
+    def test_query_matches_bruteforce_full_pool(self):
+        idx, feats, vidx, starts, ends = _mk_moment_index()
+        rng = np.random.default_rng(5)
+        q = rng.normal(size=(2, 16)).astype(np.float32)
+        res = idx.query(q, k=8, nms_threshold=0.5, candidate_pool=idx.n)
+        for bi in range(2):
+            want = _brute_moments(q[bi], feats, vidx, starts, ends, 8, 0.5)
+            got = [(r["video_id"], round(r["start_sec"], 4)) for r in res[bi]]
+            want_ids = [
+                (f"u{int(vidx[row])}", round(float(starts[row]), 4))
+                for _, row in want
+            ]
+            assert got == want_ids
+
+    def test_nms_suppresses_overlaps(self):
+        # two windows in one video, near-identical extents: only one survives
+        feats = np.stack([np.ones(8), np.ones(8) * 0.99, -np.ones(8)]).astype(
+            np.float32
+        )
+        from vqwild_tpu.serve.index import MomentIndex
+
+        idx = MomentIndex(
+            feats, ["a", "b"], np.array([0, 0, 1]),
+            np.array([0.0, 1.0, 0.0]), np.array([10.0, 11.0, 10.0]),
+        )
+        res = idx.query(np.ones((1, 8), np.float32), k=5, nms_threshold=0.5)[0]
+        assert len(res) == 2  # the overlapping twin died to NMS
+        assert res[0]["video_id"] == "a" and res[1]["video_id"] == "b"
+
+    def test_save_load_roundtrip(self, tmp_path):
+        idx, _, _, _, _ = _mk_moment_index()
+        idx.save(str(tmp_path / "midx"))
+        from vqwild_tpu.serve.index import MomentIndex
+
+        loaded = MomentIndex.load(str(tmp_path / "midx"))
+        q = np.random.default_rng(6).normal(size=(1, 16)).astype(np.float32)
+        assert idx.query(q, k=3) == loaded.query(q, k=3)
+
+    def test_feature_topk_path_serves_windows(self):
+        idx, feats, vidx, starts, _ = _mk_moment_index()
+        svc = QueryService(idx, max_wait_ms=1.0)
+        try:
+            res = svc.query_features(feats[10], k=1)
+        finally:
+            svc.close()
+        assert res[0]["video_id"] == f"u{int(vidx[10])}"
+        assert res[0]["start_sec"] == pytest.approx(float(starts[10]))
+
+
 class TestQueryService:
     def test_single_query(self):
         index, feats = _mk_index()
@@ -112,6 +191,28 @@ class TestQueryService:
         finally:
             svc.close()
         assert res[0]["video_id"] == "v023"
+
+    def test_query_moments(self):
+        idx, feats, vidx, starts, ends = _mk_moment_index()
+        gal, _ = _mk_index()
+        svc = QueryService(gal, moment_index=idx, max_wait_ms=1.0)
+        try:
+            res = svc.query_moments(feats[3], k=4, nms_threshold=0.5)
+        finally:
+            svc.close()
+        want = _brute_moments(feats[3], feats, vidx, starts, ends, 4, 0.5)
+        assert [r["video_id"] for r in res] == [
+            f"u{int(vidx[row])}" for _, row in want
+        ]
+
+    def test_query_moments_requires_index(self):
+        gal, feats = _mk_index()
+        svc = QueryService(gal, max_wait_ms=1.0)
+        try:
+            with pytest.raises(RuntimeError):
+                svc.query_moments(feats[0])
+        finally:
+            svc.close()
 
     def test_error_propagates(self):
         index, _ = _mk_index()
@@ -176,6 +277,33 @@ class TestHTTP:
         with urllib.request.urlopen(req) as r:
             body = json.load(r)
         assert body["results"][0]["video_id"] == "v007"
+
+    def test_query_moments_endpoint(self):
+        from vqwild_tpu.serve.http import make_server
+
+        idx, feats, vidx, _, _ = _mk_moment_index()
+        gal, _ = _mk_index()
+        svc = QueryService(gal, moment_index=idx, max_wait_ms=1.0)
+        srv = make_server(svc, host="127.0.0.1", port=0)
+        thread = threading.Thread(target=srv.serve_forever, daemon=True)
+        thread.start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}/query/moments"
+            req = urllib.request.Request(
+                url,
+                data=json.dumps(
+                    {"feature": feats[3].tolist(), "k": 2, "nms": 0.5}
+                ).encode(),
+            )
+            with urllib.request.urlopen(req) as r:
+                body = json.load(r)
+            assert body["results"][0]["video_id"] == f"u{int(vidx[3])}"
+            assert {"start_sec", "end_sec", "score", "rank"} <= set(
+                body["results"][0]
+            )
+        finally:
+            srv.shutdown()
+            svc.close()
 
     def test_bad_request(self, server):
         srv, _ = server

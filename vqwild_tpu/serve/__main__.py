@@ -35,6 +35,17 @@ def main(argv=None) -> None:
     p.add_argument("--frames_dir", default="")
     p.add_argument("--eval_split", default="testing",
                    choices=["validation", "testing"])
+    p.add_argument("--regime", default="trimmed",
+                   choices=["trimmed", "clip", "moment"],
+                   help="what the index rows are: trimmed segments, "
+                        "untrimmed clip windows, or untrimmed moment "
+                        "windows (adds /query/moments)")
+    p.add_argument("--clip_sec", type=int, default=6)
+    p.add_argument("--moment_clip_sec", type=int, default=5)
+    p.add_argument("--max_clips_per_moment", type=int, default=26)
+    p.add_argument("--max_gallery", type=int, default=0,
+                   help="cap gallery records/videos at index-build time "
+                        "(0 = all; debug/smoke aid like the eval debug caps)")
     p.add_argument("--input_size", type=int, default=112)
     p.add_argument("--test_frame", type=int, default=32)
     p.add_argument("--test_batch_size", type=int, default=30)
@@ -51,7 +62,7 @@ def main(argv=None) -> None:
 
     from vqwild_tpu.core.logging import get_logger
     from vqwild_tpu.serve.http import make_server
-    from vqwild_tpu.serve.index import GalleryIndex
+    from vqwild_tpu.serve.index import GalleryIndex, MomentIndex
     from vqwild_tpu.serve.service import QueryService
 
     log = get_logger("serve")
@@ -60,9 +71,15 @@ def main(argv=None) -> None:
     if not args.no_embed:
         embed_fn = _build_embed_fn(args)
 
+    moment = args.regime == "moment"
+    cls = MomentIndex if moment else GalleryIndex
     if os.path.exists(os.path.join(args.index_dir, "feats.npy")):
-        index = GalleryIndex.load(args.index_dir)
-        log.info("loaded index: %d gallery rows", index.n)
+        # a saved moment index is recognizable by its windows.npz
+        moment = os.path.exists(os.path.join(args.index_dir, "windows.npz"))
+        cls = MomentIndex if moment else GalleryIndex
+        index = cls.load(args.index_dir)
+        log.info("loaded %s index: %d rows", "moment" if moment else "gallery",
+                 index.n)
     else:
         index = _build_index(args, embed_fn)
         index.save(args.index_dir)
@@ -70,6 +87,7 @@ def main(argv=None) -> None:
     service = QueryService(
         index, embed_fn=embed_fn, default_k=args.k,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        moment_index=index if moment else None,
     )
     server = make_server(service, host=args.host, port=args.port)
     log.info("serving %d gallery rows on http://%s:%d", index.n,
@@ -119,9 +137,10 @@ def _build_embed_fn(args):
 
 
 def _build_index(args, embed_fn):
-    from vqwild_tpu.apps.cli import build_stack
+    from vqwild_tpu.apps.cli import build_stack, resolve_data_file
+    from vqwild_tpu.data.schema import load_moment_db
     from vqwild_tpu.retrieval.features import FeatureExtractor
-    from vqwild_tpu.serve.index import GalleryIndex
+    from vqwild_tpu.serve.index import GalleryIndex, MomentIndex
 
     if embed_fn is None:
         raise SystemExit("--no_embed requires an existing --index_dir")
@@ -134,8 +153,38 @@ def _build_index(args, embed_fn):
         input_size=cfg.data.input_size,
         wire="yuv420",
     )
-    records = db.flat(args.eval_split)
-    return GalleryIndex.build(records, extractor)
+    cap = args.max_gallery or None
+    if args.regime == "trimmed":
+        return GalleryIndex.build(db.flat(args.eval_split)[:cap], extractor)
+
+    mdb = load_moment_db(resolve_data_file(spec.moment_db_json, args.data_root))
+    if args.regime == "clip":
+        from vqwild_tpu.retrieval.clip import ARVRetrievalClip
+
+        ev = ARVRetrievalClip(mdb, spec, extractor, clip_sec=args.clip_sec)
+        ev.gallery_videos = ev.gallery_videos[:cap]
+        feats, labels, vidx, locs = ev.build_gallery()
+        meta = [
+            {
+                "video_id": ev.gallery_videos[int(vidx[i])].video_id,
+                "label": str(labels[i]),
+                "loc_sec": [float(locs[i, 0]), float(locs[i, 1])],
+            }
+            for i in range(feats.shape[0])
+        ]
+        return GalleryIndex(feats, meta)
+
+    from vqwild_tpu.retrieval.moment import ARVRetrievalMoment
+
+    ev = ARVRetrievalMoment(
+        mdb, spec, extractor,
+        moment_clip_sec=args.moment_clip_sec,
+        max_clips_per_moment=args.max_clips_per_moment,
+    )
+    ev.gallery_videos = ev.gallery_videos[:cap]
+    feats, vidx, s_sec, e_sec, _, _ = ev.build_gallery()
+    video_ids = [v.video_id for v in ev.gallery_videos]
+    return MomentIndex(feats, video_ids, vidx, s_sec, e_sec)
 
 
 if __name__ == "__main__":

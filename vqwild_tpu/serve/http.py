@@ -58,6 +58,13 @@ def make_server(service: QueryService, host: str = "127.0.0.1",
                     results = service.query_features(
                         np.asarray(req["feature"], np.float32), k=req.get("k")
                     )
+                elif parsed.path == "/query/moments":
+                    req = json.loads(raw)
+                    results = service.query_moments(
+                        np.asarray(req["feature"], np.float32),
+                        k=int(req.get("k", 10)),
+                        nms_threshold=float(req.get("nms", 0.5)),
+                    )
                 elif parsed.path == "/query/clip":
                     qs = parse_qs(parsed.query)
                     k = int(qs["k"][0]) if "k" in qs else None

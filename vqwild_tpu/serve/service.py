@@ -50,9 +50,11 @@ class QueryService:
         default_k: int = 30,
         max_batch: int = 16,
         max_wait_ms: float = 5.0,
+        moment_index=None,
     ):
         self.index = index
         self.embed_fn = embed_fn
+        self.moment_index = moment_index  # serve/index.py::MomentIndex
         self.default_k = default_k
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
@@ -84,6 +86,17 @@ class QueryService:
             raise RuntimeError("service built without an embed_fn")
         fe = np.asarray(self.embed_fn(y_u8[None], uv_u8[None]))  # [1, C, T]
         return self.query_features(fe[0].mean(axis=1), k=k)
+
+    def query_moments(self, qfeat: np.ndarray, k: int = 10,
+                      nms_threshold: float = 0.5) -> List[dict]:
+        """[C] clip embedding → top-k NMS-surviving untrimmed moments.
+
+        Dispatches directly (moment postprocess is per-query host work; the
+        device scoring matmul batches internally via the scorer)."""
+        if self.moment_index is None:
+            raise RuntimeError("service built without a moment_index")
+        qfeat = np.asarray(qfeat, np.float32).reshape(1, -1)
+        return self.moment_index.query(qfeat, k=k, nms_threshold=nms_threshold)[0]
 
     def close(self) -> None:
         self._stop.set()
@@ -123,7 +136,7 @@ class QueryService:
             for rank in range(p.k):
                 if rank >= rows.shape[1]:
                     break
-                meta = self.index.meta[int(rows[bi, rank])]
+                meta = self.index.row_meta(rows[bi, rank])
                 out.append({**meta, "score": float(scores[bi, rank]), "rank": rank})
             p.result = out
             p.error = None
