@@ -8,7 +8,7 @@ dispatches, and the embedding path is the folded (or int8-quantized)
 serving trunk.
 """
 
-from vqwild_tpu.serve.index import GalleryIndex
+from vqwild_tpu.serve.index import GalleryIndex, MomentIndex
 from vqwild_tpu.serve.service import QueryService
 
-__all__ = ["GalleryIndex", "QueryService"]
+__all__ = ["GalleryIndex", "MomentIndex", "QueryService"]

@@ -18,8 +18,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import numpy as np
-
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="ARV gallery query server")

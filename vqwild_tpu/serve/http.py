@@ -8,6 +8,10 @@ Endpoints (JSON unless noted):
   POST /query/clip      → body: npz bytes with arrays "y" [T,s,s] u8 and
                           "uv" [T,s/2,s/2,2] u8 (?k=30 query param)
                           → same response shape
+  POST /query/moments   → body {"feature": [C floats], "k": 10?, "nms": 0.5?}
+                          → {"results": [{video_id, start_sec, end_sec,
+                                          score, rank}, ...]} (requires a
+                          moment index, --regime moment)
 
 ThreadingHTTPServer: each connection blocks in its own thread while the
 micro-batcher coalesces concurrent requests into single device dispatches.
