@@ -45,6 +45,19 @@ class TestGalleryIndex:
         _, rows = index.topk(q, k=50)
         assert rows.max() < 50
 
+    def test_gallery_save_clears_stale_moment_marker(self, tmp_path):
+        """Re-saving a gallery index over an old moment index must not leave
+        windows.npz behind (the load-time moment-detection marker)."""
+        midx, _, _, _, _ = _mk_moment_index()
+        d = str(tmp_path / "idx")
+        midx.save(d)
+        index, _ = _mk_index(n=12)
+        index.save(d)
+        import os
+
+        assert not os.path.exists(os.path.join(d, "windows.npz"))
+        assert GalleryIndex.load(d).n == 12
+
     def test_save_load_roundtrip(self, tmp_path):
         index, _ = _mk_index(n=12)
         index.save(str(tmp_path / "idx"))
@@ -214,14 +227,34 @@ class TestQueryService:
         finally:
             svc.close()
 
-    def test_error_propagates(self):
-        index, _ = _mk_index()
-        svc = QueryService(index, max_wait_ms=1.0)
+    def test_bad_request_fails_alone(self):
+        """A malformed query must be rejected BEFORE enqueueing — it can
+        never poison the micro-batch it would have coalesced into."""
+        index, feats = _mk_index()
+        svc = QueryService(index, max_batch=8, max_wait_ms=20.0)
+        good = {}
+
+        def good_client():
+            good["res"] = svc.query_features(feats[5], k=1)
+
+        t = threading.Thread(target=good_client)
         try:
-            with pytest.raises(Exception):
+            t.start()
+            with pytest.raises(ValueError):
                 svc.query_features(np.zeros((3,), np.float32))  # wrong dim
+            with pytest.raises(ValueError):
+                svc.query_features(feats[0], k=0)
+            t.join()
         finally:
             svc.close()
+        assert good["res"][0]["video_id"] == "v005"
+
+    def test_query_after_close_raises(self):
+        index, feats = _mk_index()
+        svc = QueryService(index, max_wait_ms=1.0)
+        svc.close()
+        with pytest.raises(RuntimeError):
+            svc.query_features(feats[0], k=1)
 
 
 class TestHTTP:

@@ -236,6 +236,10 @@ def load_variables(test_load: str, method: str, model, params, state_vars):
 
     init_vars = {"params": params, **state_vars}
     if not test_load:
+        log.warning(
+            "no --test_load given: using RANDOMLY INITIALIZED weights "
+            "(fine for smoke tests, meaningless for real retrieval)"
+        )
         return init_vars
     if os.path.isdir(test_load):
         mgr = CheckpointManager(os.path.dirname(os.path.abspath(test_load)) or ".")
@@ -544,9 +548,16 @@ def run_training(cfg, extra, run_dir: RunDir):
 
 def run_export_torch(cfg, extra) -> None:
     """Convert --test_load (orbax dir or .pth) into a reference-compatible
-    best.pth.tar at --export_torch (models/torch_export.py)."""
+    best.pth.tar at --export_torch (models/torch_export.py).
+
+    Requires --test_load: exporting randomly initialized weights as a
+    "trained" checkpoint is never what a user wants. The ARV DB must be on
+    disk — it sizes the class heads of the variable template the checkpoint
+    merges into."""
     from vqwild_tpu.models.torch_export import save_reference_checkpoint
 
+    if not extra.get("test_load"):
+        raise SystemExit("--export_torch requires --test_load (a checkpoint)")
     _, _, _, model, params, state_vars, _, _ = build_stack(cfg)
     variables = load_variables(
         extra.get("test_load", ""), cfg.model.method, model, params, state_vars

@@ -77,18 +77,13 @@ def _quant_weight(kernel: np.ndarray, in_scales: Optional[np.ndarray]):
 
 
 def _center_s2d_int8(y_u8, uv_u8, scales: np.ndarray):
-    """uint8 planes → int8 [N, H/2, W/2, 6] stem feed (scale-1 grid divided
-    by the static per-channel scales)."""
-    y = jnp.asarray(y_u8)
-    lead = y.shape[:-2]
-    h, w = y.shape[-2], y.shape[-1]
-    ys = y.reshape(lead + (h // 2, 2, w // 2, 2))
-    ys = jnp.moveaxis(ys, -3, -2).reshape(lead + (h // 2, w // 2, 4))
-    x = jnp.concatenate([ys, jnp.asarray(uv_u8)], axis=-1).astype(jnp.float32)
-    zeros = jnp.asarray(
-        [YUV_ZERO_Y] * 4 + [128.0 + YUV_ZERO_CB, 128.0 + YUV_ZERO_CR], jnp.float32
-    )
-    q = jnp.round((x - zeros) / jnp.asarray(scales))
+    """uint8 planes → int8 [N, H/2, W/2, 6] stem feed: the float centered
+    feed (fold.yuv420_center_s2d — single source of the s2d layout and zero
+    points) on the uint8 grid, divided by the static per-channel scales."""
+    from vqwild_tpu.models.fold import yuv420_center_s2d
+
+    x = yuv420_center_s2d(y_u8, uv_u8, jnp.float32)
+    q = jnp.round(x / jnp.asarray(scales))
     return jnp.clip(q, -127, 127).astype(jnp.int8)
 
 

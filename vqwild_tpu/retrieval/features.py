@@ -66,23 +66,32 @@ def make_feat_fn(
             raise ValueError(f"unknown quant mode {quant!r}")
         if wire != "yuv420":
             raise ValueError("quant='int8' requires wire='yuv420'")
+        import threading
+
         from vqwild_tpu.models import quant as quant_mod
 
         cell: dict = {}
+        cell_lock = threading.Lock()  # concurrent first calls (e.g. HTTP
+        # handler threads) must not each calibrate on their own batch —
+        # scales would become nondeterministic and the float shadow would
+        # run twice
 
         def _fwd(*planes):
             if "fn" not in cell:
-                calib = tuple(np.asarray(p) for p in planes)
-                dev = None
-                if mesh is not None:
-                    # params replicate over the mesh (they are jit args;
-                    # their sharding must compose with the sharded batch)
-                    from jax.sharding import NamedSharding, PartitionSpec
+                with cell_lock:
+                    if "fn" not in cell:
+                        calib = tuple(np.asarray(p) for p in planes)
+                        dev = None
+                        if mesh is not None:
+                            # params replicate over the mesh (they are jit
+                            # args; their sharding must compose with the
+                            # sharded batch)
+                            from jax.sharding import NamedSharding, PartitionSpec
 
-                    dev = NamedSharding(mesh, PartitionSpec())
-                cell["fn"] = quant_mod.make_int8_embed_fn(
-                    variables, calib, device=dev
-                )
+                            dev = NamedSharding(mesh, PartitionSpec())
+                        cell["fn"] = quant_mod.make_int8_embed_fn(
+                            variables, calib, device=dev
+                        )
             return cell["fn"](*planes)
 
     elif folded:

@@ -44,19 +44,18 @@ class GalleryIndex:
             feats.shape, len(meta),
         )
         self.meta = meta
+        self.feat_dim = feats.shape[1]
         self.scorer = GalleryScorer(np.ascontiguousarray(feats, np.float32), mesh=mesh)
         self.n = self.scorer.n
 
     # ---- construction ----
 
     @classmethod
-    def build(cls, records: Sequence[VideoRecord], extractor, mesh=None,
-              temporal_mean: bool = True) -> "GalleryIndex":
-        """Embed trimmed records through the extractor (frame features
-        [N, C, T] → temporal-mean clip embeddings, main.py:220-233)."""
+    def build(cls, records: Sequence[VideoRecord], extractor, mesh=None
+              ) -> "GalleryIndex":
+        """Embed trimmed records through the extractor (already
+        temporal-mean clip embeddings [N, C], features.py extract_trimmed)."""
         feats = extractor.extract_trimmed(list(records))
-        if temporal_mean and feats.ndim == 3:
-            feats = feats.mean(axis=2)
         meta = [
             {k: getattr(r, k) for k in _META_KEYS} for r in records[: feats.shape[0]]
         ]
@@ -65,13 +64,21 @@ class GalleryIndex:
     # ---- persistence ----
 
     def save(self, path: str) -> None:
+        # feats.npy is the load-detection marker — publish it LAST so an
+        # interrupted save never leaves a directory that load() detects but
+        # cannot read
         os.makedirs(path, exist_ok=True)
+        # a stale windows.npz from a previous moment index would misdetect
+        # this directory as a moment index at load time
+        for stale in ("windows.npz", "videos.json"):
+            if os.path.exists(os.path.join(path, stale)):
+                os.remove(os.path.join(path, stale))
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(self.meta, f)
         feats = np.asarray(jax.device_get(self.scorer.g_dev))[: self.n]
         tmp = os.path.join(path, ".feats.tmp.npy")
         np.save(tmp, feats)
         os.replace(tmp, os.path.join(path, "feats.npy"))
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(self.meta, f)
         log.info("saved gallery index (%d rows) to %s", self.n, path)
 
     @classmethod
@@ -99,23 +106,29 @@ class GalleryIndex:
         return [self.meta[int(r)] for r in rows]
 
 
+def _pow2(x: int) -> int:
+    return 1 << (x - 1).bit_length() if x > 1 else 1
+
+
 def _masked_topk(scorer: GalleryScorer, n: int, qfeats: np.ndarray, k: int):
     q = np.asarray(qfeats, np.float32)
-    # bucket the batch dim to the next power of two: the micro-batcher
-    # produces arbitrary batch sizes, and every distinct shape would
-    # otherwise compile (and cache) its own XLA program — bucketing bounds
-    # that to log2(max_batch) programs at ≤2x padded compute
+    # bucket BOTH jit-specializing dims to powers of two: the micro-batcher
+    # produces arbitrary batch sizes and clients choose arbitrary k, and
+    # every distinct (batch, k) shape pair would otherwise compile its own
+    # XLA program — bucketing bounds that to log2(max_batch)·log2(n)
+    # programs at ≤2x padded compute
     b = q.shape[0]
-    bucket = 1 << (b - 1).bit_length() if b > 1 else 1
+    bucket = _pow2(b)
     if bucket != b:
         q = np.concatenate([q, np.zeros((bucket - b,) + q.shape[1:], q.dtype)])
+    kb = min(_pow2(k), n)
     scores = scorer.scores(q)
     if scorer.n_padded > n:
         pad = scorer.n_padded - n
         mask = jnp.concatenate([jnp.zeros((n,)), jnp.full((pad,), -jnp.inf)])
         scores = scores + mask[None, :]
-    top_s, top_i = _topk_scores(scores, k)
-    return np.asarray(top_s)[:b], np.asarray(top_i)[:b]
+    top_s, top_i = _topk_scores(scores, kb)
+    return np.asarray(top_s)[:b, :k], np.asarray(top_i)[:b, :k]
 
 
 class MomentIndex:
@@ -139,19 +152,23 @@ class MomentIndex:
         self.video_idx = np.asarray(video_idx, np.int64)
         self.start_sec = np.asarray(start_sec, np.float64)
         self.end_sec = np.asarray(end_sec, np.float64)
+        self.feat_dim = feats.shape[1]
         self.scorer = GalleryScorer(np.ascontiguousarray(feats, np.float32), mesh=mesh)
         self.n = self.scorer.n
 
     def save(self, path: str) -> None:
+        # windows.npz (the moment-index marker) and metadata first; the
+        # feats.npy load-detection marker is published LAST (see
+        # GalleryIndex.save)
         os.makedirs(path, exist_ok=True)
-        feats = np.asarray(jax.device_get(self.scorer.g_dev))[: self.n]
-        tmp = os.path.join(path, ".feats.tmp.npy")
-        np.save(tmp, feats)
-        os.replace(tmp, os.path.join(path, "feats.npy"))
         np.savez(os.path.join(path, "windows.npz"), video_idx=self.video_idx,
                  start_sec=self.start_sec, end_sec=self.end_sec)
         with open(os.path.join(path, "videos.json"), "w") as f:
             json.dump(self.video_ids, f)
+        feats = np.asarray(jax.device_get(self.scorer.g_dev))[: self.n]
+        tmp = os.path.join(path, ".feats.tmp.npy")
+        np.save(tmp, feats)
+        os.replace(tmp, os.path.join(path, "feats.npy"))
         log.info("saved moment index (%d windows, %d videos) to %s",
                  self.n, len(self.video_ids), path)
 

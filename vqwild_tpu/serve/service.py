@@ -67,11 +67,28 @@ class QueryService:
 
     def query_features(self, qfeat: np.ndarray, k: Optional[int] = None) -> List[dict]:
         """[C] (or [1, C]) clip embedding → top-k [{video_id, label,
-        retrieval_type, score, rank}]. Blocks until served."""
+        retrieval_type, score, rank}]. Blocks until served.
+
+        Validates the feature dim BEFORE enqueueing: a malformed request
+        must fail alone, never the whole micro-batch it would coalesce
+        into."""
+        if self._stop.is_set():
+            raise RuntimeError("service is closed")
         qfeat = np.asarray(qfeat, np.float32).reshape(-1)
-        p = _Pending(qfeat=qfeat, k=int(k or self.default_k))
+        if qfeat.shape[0] != self.index.feat_dim:
+            raise ValueError(
+                f"feature dim {qfeat.shape[0]} != index dim {self.index.feat_dim}"
+            )
+        k = self.default_k if k is None else int(k)
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        p = _Pending(qfeat=qfeat, k=k)
         self._q.put(p)
-        p.done.wait()
+        # bounded wait: a close() racing the enqueue could otherwise strand
+        # this waiter forever
+        while not p.done.wait(timeout=0.5):
+            if self._stop.is_set():
+                raise RuntimeError("service closed before the query was served")
         if p.error is not None:
             raise p.error
         return p.result
@@ -99,8 +116,16 @@ class QueryService:
         return self.moment_index.query(qfeat, k=k, nms_threshold=nms_threshold)[0]
 
     def close(self) -> None:
+        """Stop the worker; fail (never strand) any still-queued waiters."""
         self._stop.set()
         self._worker.join(timeout=2.0)
+        while True:
+            try:
+                p = self._q.get_nowait()
+            except queue.Empty:
+                break
+            p.error = RuntimeError("service closed before the query was served")
+            p.done.set()
 
     # ---- batching worker ----
 
