@@ -88,6 +88,29 @@ def main():
             f"p99={lat[int(len(lat)*0.99)]*1000:6.1f} ms"
         )
 
+    # moment serving: score all windows -> candidate-pool top-k -> per-video
+    # temporal NMS (serve/index.py::MomentIndex.query)
+    from vqwild_tpu.serve.index import MomentIndex
+
+    n_videos = n // 300  # ~300 multi-duration windows per untrimmed video
+    vidx = rng.integers(0, n_videos, n)
+    starts = rng.uniform(0, 100, n)
+    midx = MomentIndex(
+        feats, [f"u{i}" for i in range(n_videos)], vidx, starts,
+        starts + rng.uniform(3, 120, n),
+    )
+    midx.query(qfeats[:1], k=10)  # warm
+    mlat = []
+    for i in range(30):
+        t0 = time.monotonic()
+        midx.query(qfeats[i : i + 1], k=10)
+        mlat.append(time.monotonic() - t0)
+    mlat.sort()
+    log(
+        f"moment query ({n} windows / {n_videos} videos, k=10 + NMS): "
+        f"p50={mlat[len(mlat)//2]*1000:6.1f} ms"
+    )
+
 
 if __name__ == "__main__":
     main()
