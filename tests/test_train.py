@@ -453,6 +453,39 @@ class TestYUVTrainWire:
         result = loop.run(state)
         assert int(result.state.step) == 2
 
+    def test_nonfinite_loss_halts(self):
+        """Failure detection: a NaN loss raises NonFiniteLossError at the
+        next loss sync under the default halt policy; warn continues."""
+        from vqwild_tpu.train.loop import NonFiniteLossError, TrainLoop
+
+        class _Batch:
+            def __init__(self):
+                self.arrays = (np.zeros((2, 1), np.uint8),)
+                self.labels = np.zeros(2, np.int32)
+
+        class _Loader:
+            def epoch(self, e):
+                for _ in range(3):
+                    yield _Batch()
+
+        class _State:
+            step = 0
+
+        def bad_step(state, *a, weights=None):
+            return state, {"loss": np.float32("nan")}
+
+        loop = TrainLoop(bad_step, _Loader(), epochs=1, print_freq=1)
+        with pytest.raises(NonFiniteLossError):
+            loop.run(_State())
+
+        loop_warn = TrainLoop(
+            bad_step, _Loader(), epochs=1, print_freq=1, nonfinite_policy="warn"
+        )
+        loop_warn.run(_State())  # completes despite NaN
+
+        with pytest.raises(ValueError):
+            TrainLoop(bad_step, _Loader(), epochs=1, nonfinite_policy="bogus")
+
     def test_padded_masked_step_matches_unpadded(self):
         """Row-padding + 0-weights must not change losses or the EMA memory
         (train/loop.py pads to the mesh multiple; BN batch stats are the

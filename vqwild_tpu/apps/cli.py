@@ -130,6 +130,10 @@ def parse(argv=None) -> ExperimentConfig:
                         "post-training-quantized trunk (requires --wire "
                         "yuv420; ~1.33x device throughput, calibrated on "
                         "the first batch — models/quant.py)")
+    p.add_argument("--nonfinite_policy", choices=["halt", "warn"], default="halt",
+                   help="NaN/Inf-loss failure detection: halt raises at the "
+                        "next loss sync (resume from the last checkpoint); "
+                        "warn logs and continues")
     p.add_argument("--profile", action="store_true", help="write a jax.profiler trace")
     p.add_argument("--resume", action="store_true",
                    help="resume training from the run dir's 'last' checkpoint")
@@ -196,6 +200,7 @@ def parse(argv=None) -> ExperimentConfig:
         eval_all=args.eval_all,
         test_load=args.test_load,
         export_torch=args.export_torch,
+        nonfinite_policy=args.nonfinite_policy,
     )
     return cfg, cfg_extra
 
@@ -527,6 +532,7 @@ def run_training(cfg, extra, run_dir: RunDir):
         start_epoch=start_epoch,
         scan_fn=scan_fn,
         scan_steps=cfg.train.scan_steps,
+        nonfinite_policy=extra.get("nonfinite_policy", "halt"),
     )
     from vqwild_tpu.core.profiling import trace
 

@@ -36,6 +36,16 @@ class LoopResult:
     history: list
 
 
+class NonFiniteLossError(RuntimeError):
+    """Training diverged: a loss became NaN/Inf (train failure detection).
+
+    The reference has no failure detection (SURVEY §5) — a NaN quietly burns
+    the remaining epochs and poisons the checkpoints. Here the loop halts at
+    the next loss sync; the previous epoch's ``last`` checkpoint (saved
+    before the divergence finished an epoch) is the resume point.
+    """
+
+
 class TrainLoop:
     def __init__(
         self,
@@ -51,6 +61,7 @@ class TrainLoop:
         start_epoch: int = 0,
         scan_fn: Optional[Callable] = None,
         scan_steps: int = 1,
+        nonfinite_policy: str = "halt",
     ):
         """``scan_fn`` + ``scan_steps`` > 1 enables the dispatch-amortized
         inner loop (train/step.py:make_scanned_train_step): groups of
@@ -59,7 +70,15 @@ class TrainLoop:
         between dependent steps. Leftover batches (< scan_steps at epoch end)
         fall back to ``step_fn`` — zero-weight padding would still advance
         the optimizer (weight decay, bias correction), so it is never used
-        to fill a scan window."""
+        to fill a scan window.
+
+        ``nonfinite_policy``: what to do when a synced loss is NaN/Inf —
+        "halt" (default) raises NonFiniteLossError at the next loss sync
+        (losses sync every print_freq steps, so detection lags at most that
+        many steps — by design, a per-step readback would serialize the
+        async dispatch queue); "warn" logs and keeps going."""
+        if nonfinite_policy not in ("halt", "warn"):
+            raise ValueError(f"unknown nonfinite_policy {nonfinite_policy!r}")
         self.step_fn = step_fn
         self.loader = loader
         self.epochs = epochs
@@ -72,6 +91,7 @@ class TrainLoop:
         self.start_epoch = start_epoch
         self.scan_fn = scan_fn
         self.scan_steps = scan_steps if scan_fn is not None else 1
+        self.nonfinite_policy = nonfinite_policy
 
     def _put(self, batch):
         """→ (wire arrays..., labels, weights-or-None), mesh-sharded.
@@ -138,11 +158,25 @@ class TrainLoop:
                     yield b
 
             def drain(pending):
+                bad = None
                 for entry in pending:
                     for k, v in entry.items():
                         for x in np.asarray(v).ravel():
+                            if not np.isfinite(x) and bad is None:
+                                bad = (k, float(x))
                             loss_meters.setdefault(k, AverageMeter()).update(float(x))
                 pending.clear()
+                if bad is not None:
+                    msg = (
+                        f"non-finite loss {bad[0]}={bad[1]} detected by epoch "
+                        f"{epoch} step {nsteps} (sync granularity "
+                        f"print_freq={self.print_freq}); resume from the "
+                        f"'last' checkpoint of the previous epoch"
+                    )
+                    if self.nonfinite_policy == "halt":
+                        log.error(msg)
+                        raise NonFiniteLossError(msg)
+                    log.warning(msg)
 
             pending = []  # device-scalar losses; synced only at print time so
             # per-step readback never serializes the async dispatch queue
