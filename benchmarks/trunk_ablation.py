@@ -7,7 +7,7 @@ sweeps (the axon relay's timing quirks: block_until_ready does not block;
 per-dispatch overhead ~35 ms).
 
 Usage: python benchmarks/trunk_ablation.py [variant ...]
-Variants: full, folded, folded_s2d; each at batch sizes 16 and 64.
+Variants: full, folded, folded_s2d, fused; each at batch sizes 16 and 64.
 """
 
 from __future__ import annotations
@@ -84,7 +84,7 @@ def main():
                 im, iv = make_folded_trunk(
                     variables,
                     dtype=jnp.bfloat16,
-                    space_to_depth_stem=(variant == "folded_s2d"),
+                    stem_mode="s2d" if variant == "folded_s2d" else "conv7",
                 )
             iv = jax.device_put(iv, jax.devices()[0])
 

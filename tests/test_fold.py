@@ -112,6 +112,49 @@ class TestFoldedTrunkParity:
         got = f(jnp.asarray(y), jnp.asarray(uv))
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
+    def test_out_of_gamut_divergence_bounded(self):
+        """The fused yuv_s2d stem is linear and drops normalize_clips_yuv420's
+        out-of-gamut clip (the ONE documented inexactness of the fused eval
+        path). Bound it adversarially: even frames that are entirely
+        saturated luma x extreme chroma — far beyond anything a JPEG source
+        contains — keep embedding cosine > 0.98 vs the clipping path."""
+        model, variables = _setup()
+        rng = np.random.default_rng(13)
+        y = rng.choice([0, 255], size=(4, 2, 32, 32)).astype(np.uint8)
+        uv = rng.choice([0, 255], size=(4, 2, 16, 16, 2)).astype(np.uint8)
+
+        f_fused = make_embed_fn(variables, dtype=jnp.float32, stem_mode="yuv_s2d")
+        a = np.asarray(f_fused(jnp.asarray(y), jnp.asarray(uv)))
+        clips = normalize_clips_yuv420(jnp.asarray(y), jnp.asarray(uv))
+        b = np.asarray(_ref_embed(model, variables, clips))
+        cos = np.sum(a * b, axis=1)
+        assert cos.min() > 0.98, cos.min()
+
+    def test_nondefault_bn_eps_threads_through_folding(self):
+        """A trunk trained with bn_eps != 1e-3 must fold with ITS eps, not
+        the default — the scale gamma/sqrt(var+eps) is wrong otherwise."""
+        eps = 1e-1  # large eps makes a silent default-eps fold visibly wrong
+        model = build_model(ModelConfig(method="baseline", nclass=200, bn_eps=eps))
+        params, state = init_model(model, jax.random.PRNGKey(0), (1, 2, 32, 32, 3))
+        rng = np.random.default_rng(9)
+
+        def perturb(path, a):
+            name = str(getattr(path[-1], "key", path[-1]))
+            d = 0.05 * rng.normal(size=a.shape).astype(a.dtype)
+            return a + (np.abs(d) if name == "var" else d)
+
+        bs = jax.tree_util.tree_map_with_path(perturb, state["batch_stats"])
+        variables = {"params": params, "batch_stats": bs}
+        x = rng.normal(size=(2, 2, 32, 32, 3)).astype(np.float32)
+        ref = model.apply(variables, jnp.asarray(x), train=False).frame_embed
+        im, iv = make_folded_trunk(variables, bn_eps=eps)
+        got = im.apply(iv, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+        # the default-eps fold must NOT match (proves eps actually matters)
+        im_bad, iv_bad = make_folded_trunk(variables)
+        bad = im_bad.apply(iv_bad, jnp.asarray(x))
+        assert float(jnp.max(jnp.abs(bad - ref))) > 1e-3
+
     def test_rgb_embed_fn_matches_full_eval(self):
         model, variables = _setup()
         rng = np.random.default_rng(4)

@@ -258,19 +258,24 @@ def yuv420_center_s2d(y_u8, uv_u8, out_dtype=jnp.bfloat16):
     return jnp.concatenate([ys, uv], axis=-1)
 
 
-def make_folded_trunk(variables, *, dtype=jnp.float32, stem_mode: str = "conv7"):
+def make_folded_trunk(variables, *, dtype=jnp.float32, stem_mode: str = "conv7",
+                      bn_eps: float = 1e-3):
     """(infer_model, infer_variables) from full-model variables.
 
     ``variables`` must hold params/trunk and batch_stats/trunk as produced by
     models.init_model / the torch importer. ``stem_mode`` as in
     ResNet18F2FInfer; for "yuv_s2d" the BN-folded stem kernel is additionally
-    pushed through stem_to_yuv_s2d (preprocess folded in).
+    pushed through stem_to_yuv_s2d (preprocess folded in). ``bn_eps`` must
+    match the TRAINED module's block/stem BN epsilon (ModelConfig.bn_eps;
+    the downsample BNs keep the torch-default 1e-5 regardless — the
+    reference quirk, resnet_f2f.BasicBlock).
     """
     assert stem_mode in ("conv7", "s2d", "yuv_s2d"), stem_mode
     folded = fold_trunk_params(
         variables["params"]["trunk"],
         variables["batch_stats"]["trunk"],
         space_to_depth_stem=(stem_mode == "s2d"),
+        bn_eps=bn_eps,
     )
     if stem_mode == "yuv_s2d":
         folded["conv1"] = {
@@ -281,7 +286,8 @@ def make_folded_trunk(variables, *, dtype=jnp.float32, stem_mode: str = "conv7")
     return model, {"params": folded}
 
 
-def make_embed_fn(variables, *, dtype=jnp.bfloat16, stem_mode: str = "yuv_s2d"):
+def make_embed_fn(variables, *, dtype=jnp.bfloat16, stem_mode: str = "yuv_s2d",
+                  bn_eps: float = 1e-3):
     """The fused production embedding graph (NOT jitted; wrap at the call
     site). Returns f whose signature matches the wire:
 
@@ -293,7 +299,8 @@ def make_embed_fn(variables, *, dtype=jnp.bfloat16, stem_mode: str = "yuv_s2d"):
     trunk: BN constants into conv weights, and for "yuv_s2d" the chroma
     upsample + BT.601 + ImageNet normalize into the stem itself.
     """
-    model, iv = make_folded_trunk(variables, dtype=dtype, stem_mode=stem_mode)
+    model, iv = make_folded_trunk(variables, dtype=dtype, stem_mode=stem_mode,
+                                  bn_eps=bn_eps)
 
     def head(fe):
         fe = fe / jnp.maximum(jnp.linalg.norm(fe, axis=-1, keepdims=True), 1e-12)

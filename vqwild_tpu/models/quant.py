@@ -102,7 +102,7 @@ def _maxpool_i8(x):
     )
 
 
-def calibrate_trunk(variables, y_u8, uv_u8) -> Dict[str, float]:
+def calibrate_trunk(variables, y_u8, uv_u8, *, bn_eps: float = 1e-3) -> Dict[str, float]:
     """Per-tensor activation maxima from a float shadow of the folded trunk.
 
     Returns {"stem_out": m, "layer{l}_{b}_mid": m, "layer{l}_{b}_out": m}
@@ -111,7 +111,8 @@ def calibrate_trunk(variables, y_u8, uv_u8) -> Dict[str, float]:
     """
     from vqwild_tpu.models.fold import yuv420_center_s2d
 
-    model, iv = make_folded_trunk(variables, dtype=jnp.float32, stem_mode="yuv_s2d")
+    model, iv = make_folded_trunk(variables, dtype=jnp.float32, stem_mode="yuv_s2d",
+                                  bn_eps=bn_eps)
     p = iv["params"]
 
     def conv(pp, x, strides, padding):
@@ -151,7 +152,7 @@ def calibrate_trunk(variables, y_u8, uv_u8) -> Dict[str, float]:
     return {k: float(v) for k, v in out.items()}
 
 
-def quantize_trunk(variables, calib: Dict[str, float]):
+def quantize_trunk(variables, calib: Dict[str, float], *, bn_eps: float = 1e-3):
     """Folded-trunk variables + calibration maxima → int8 param pytree.
 
     Every scale is pre-folded on the host so the device graph is one fused
@@ -165,7 +166,8 @@ def quantize_trunk(variables, calib: Dict[str, float]):
                       res_scale f32[]},                # s_in/s_out (identity)
      "out_scale": f32[]}                               # final dequant
     """
-    _, iv = make_folded_trunk(variables, dtype=jnp.float32, stem_mode="yuv_s2d")
+    _, iv = make_folded_trunk(variables, dtype=jnp.float32, stem_mode="yuv_s2d",
+                              bn_eps=bn_eps)
     p = jax.tree_util.tree_map(np.asarray, iv["params"])
 
     act = {k: np.float32(max(v, 1e-6) / 127.0) for k, v in calib.items()}
@@ -266,7 +268,8 @@ def _embed_int8(qp, y_u8, uv_u8):
     return jnp.transpose(fe, (0, 2, 1))
 
 
-def make_int8_embed_fn(variables, calib_planes, *, calib=None, device=None):
+def make_int8_embed_fn(variables, calib_planes, *, calib=None, device=None,
+                       bn_eps: float = 1e-3):
     """(trained/imported variables, (y_u8, uv_u8) calibration batch) → the
     int8 serving embed fn f(y, uv) -> L2-normalized [B, C, T] fp32 — the
     same contract as fold.make_embed_fn(stem_mode="yuv_s2d"). Already
@@ -281,8 +284,8 @@ def make_int8_embed_fn(variables, calib_planes, *, calib=None, device=None):
     default_device context).
     """
     if calib is None:
-        calib = calibrate_trunk(variables, *calib_planes)
-    qp = quantize_trunk(variables, calib)
+        calib = calibrate_trunk(variables, *calib_planes, bn_eps=bn_eps)
+    qp = quantize_trunk(variables, calib, bn_eps=bn_eps)
     qp = jax.device_put(qp, device) if device is not None else jax.device_put(qp)
 
     def f(y_u8, uv_u8):

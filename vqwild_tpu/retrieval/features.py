@@ -90,7 +90,8 @@ def make_feat_fn(
 
                             dev = NamedSharding(mesh, PartitionSpec())
                         cell["fn"] = quant_mod.make_int8_embed_fn(
-                            variables, calib, device=dev
+                            variables, calib, device=dev,
+                            bn_eps=model.bn_eps,
                         )
             return cell["fn"](*planes)
 
@@ -102,6 +103,7 @@ def make_feat_fn(
                 variables,
                 dtype=model.dtype,
                 stem_mode="yuv_s2d" if wire == "yuv420" else "conv7",
+                bn_eps=model.bn_eps,
             )
         )
         if wire not in ("rgb", "yuv420"):

@@ -180,6 +180,20 @@ class TrainLoop:
 
             pending = []  # device-scalar losses; synced only at print time so
             # per-step readback never serializes the async dispatch queue
+
+            def progress_log(step_idx):
+                drain(pending)
+                log.info(
+                    "[%d][%d] %s dataload=%.3fs best=%.3f",
+                    epoch,
+                    step_idx,
+                    " ".join(
+                        f"{k}={m.avg:.4f}" for k, m in sorted(loss_meters.items())
+                    ),
+                    data_time.avg,
+                    best_score,
+                )
+
             next_print = self.print_freq
             if self.scan_steps > 1:
                 # dispatch-amortized path: scan_steps batches per XLA call
@@ -211,18 +225,7 @@ class TrainLoop:
                     timer.tick()
                     if nsteps >= next_print:
                         next_print += self.print_freq
-                        drain(pending)
-                        log.info(
-                            "[%d][%d] %s dataload=%.3fs best=%.3f",
-                            epoch,
-                            nsteps,
-                            " ".join(
-                                f"{k}={m.avg:.4f}"
-                                for k, m in sorted(loss_meters.items())
-                            ),
-                            data_time.avg,
-                            best_score,
-                        )
+                        progress_log(nsteps)
             else:
                 # one-batch lookahead: ship batch k+1 to device while step k
                 # runs (jax dispatch is async, so _put overlaps the compute)
@@ -245,18 +248,7 @@ class TrainLoop:
                     pending.append(losses)
                     timer.tick()
                     if i % self.print_freq == 0 and i > 0:
-                        drain(pending)
-                        log.info(
-                            "[%d][%d] %s dataload=%.3fs best=%.3f",
-                            epoch,
-                            i,
-                            " ".join(
-                                f"{k}={m.avg:.4f}"
-                                for k, m in sorted(loss_meters.items())
-                            ),
-                            data_time.avg,
-                            best_score,
-                        )
+                        progress_log(i)
             drain(pending)
             log.info(
                 "epoch %d done: %d steps, %s",

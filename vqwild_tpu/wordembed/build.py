@@ -12,7 +12,7 @@ OOV substitutions (wordembed_glove.py:27-42): misspellings in the ActivityNet
 class names plus compound words split into vocabulary tokens. Tokens still
 missing from the table are skipped with a warning (upstream: "pass word").
 
-Shipped decision (README divergence #10): GloVe-default, token-table-only.
+Shipped decision (README divergence #11): GloVe-default, token-table-only.
 Upstream's default ELMo blob (wordembed_elmo_d1024.json) is missing from the
 reference itself (.MISSING_LARGE_BLOBS), and ELMo is contextual — it needs
 allennlp + model weights, not a token table — so a contextual path is
