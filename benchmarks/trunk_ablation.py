@@ -58,9 +58,9 @@ def main():
         return jnp.transpose(fe, (0, 2, 1))
 
     def build(variant):
-        if variant == "fused":
-            from vqwild_tpu.models.fold import make_folded_trunk, yuv420_center_s2d
+        from vqwild_tpu.models.fold import make_folded_trunk, yuv420_center_s2d
 
+        if variant == "fused":
             with jax.default_device(cpu):
                 im, iv = make_folded_trunk(
                     variables, dtype=jnp.bfloat16, stem_mode="yuv_s2d"
