@@ -81,10 +81,13 @@ class TestReferenceRestore:
         import torch
 
         mod = self._load_reference_model(fname)
-        tmodel = self._build(mod, method)
+        # main.py:551 restores into the DataParallel-wrapped model, whose
+        # strict=True keys are all 'module.*' — load through the same wrapper.
+        tmodel = torch.nn.DataParallel(self._build(mod, method))
 
         model, variables = _vars(method)
         sd_np = torch_export.export_state_dict(variables, method)
+        assert all(k.startswith("module.") for k in sd_np)
         sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd_np.items()}
         tmodel.load_state_dict(sd, strict=True)  # raises on any key/shape drift
         tmodel.eval()
@@ -115,7 +118,7 @@ class TestReferenceRestore:
         ckpt = torch.load(path, map_location="cpu", weights_only=False)
         assert ckpt["epoch"] == 3 and ckpt["score"] == 0.42
         mod = self._load_reference_model("resnet18_va")
-        tmodel = self._build(mod, "va")
+        tmodel = torch.nn.DataParallel(self._build(mod, "va"))
         tmodel.load_state_dict(ckpt["state_dict"], strict=True)
         # and back through our own importer
         back = torch_import.import_reference_checkpoint(path, "va")

@@ -69,9 +69,16 @@ def _export_nonlocal(sd, t_prefix: str, p: Mapping, s: Mapping) -> None:
     _export_bn(sd, f"{t_prefix}.W.1", p["w_bn"], s["w_bn"])
 
 
-def export_state_dict(variables: Mapping[str, Any], method: str) -> Dict[str, np.ndarray]:
+def export_state_dict(variables: Mapping[str, Any], method: str,
+                      module_prefix: bool = True) -> Dict[str, np.ndarray]:
     """{'params', 'batch_stats'[, 'memory']} → reference-layout state_dict
-    (numpy values; wrap with save_reference_checkpoint for a .pth.tar)."""
+    (numpy values; wrap with save_reference_checkpoint for a .pth.tar).
+
+    ``module_prefix`` (default on) prefixes every key with ``module.`` —
+    the layout the reference actually saves and strict-loads: main.py:551
+    restores into the MyDataParallel-wrapped model (set_distributed_backend,
+    model_utils.py:134-149), whose state_dict keys are all ``module.*``.
+    Pass False for a bare-``ResNet3D`` state_dict."""
     params = variables["params"]
     stats = variables["batch_stats"]
     sd: Dict[str, np.ndarray] = {}
@@ -106,6 +113,8 @@ def export_state_dict(variables: Mapping[str, Any], method: str) -> Dict[str, np
     if method == "vasa":
         for sub in ("fc", "fc2", "fc3", "fc4"):
             _export_linear(sd, f"word_adaptor.{sub}", params["word_adaptor"][sub])
+    if module_prefix:
+        sd = {"module." + k: v for k, v in sd.items()}
     return sd
 
 

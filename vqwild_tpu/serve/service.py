@@ -147,8 +147,13 @@ class QueryService:
                     break
             try:
                 self._serve(batch)
-            except BaseException as e:  # propagate to every waiter
+            except BaseException as e:  # propagate to every unfinished waiter
                 for p in batch:
+                    # skip waiters _serve already completed with a valid
+                    # result: setting error after done would race a client
+                    # between done.wait() and the error check
+                    if p.done.is_set():
+                        continue
                     p.error = e
                     p.done.set()
 
