@@ -86,3 +86,65 @@ class TestConfigRoundtrip:
         cfg, _ = cli.parse(["--method", "va", "--batch_size", "4"])
         restored = ExperimentConfig.from_json(cfg.to_json())
         assert restored == cfg
+
+
+class TestCacheTag:
+    """Feature caches must be keyed by checkpoint AND extraction mode:
+    --evaluate forces read_cache_feat, so a float-then-int8 evaluation of
+    the same checkpoint would otherwise silently report the float trunk's
+    metrics from cache."""
+
+    def _tag(self, args, tmp_path, ckpt):
+        cfg, extra = cli.parse(args + ["--test_load", ckpt])
+        return cli._ckpt_cache_tag(
+            extra["test_load"], cfg.eval.fake_features,
+            mode=cli._extraction_mode_tag(cfg),
+        )
+
+    def test_same_checkpoint_same_mode_shares_cache(self, tmp_path):
+        ckpt = str(tmp_path / "best.pth.tar")
+        open(ckpt, "wb").write(b"x")
+        assert self._tag(["--evaluate"], tmp_path, ckpt) == self._tag(
+            ["--evaluate"], tmp_path, ckpt
+        )
+
+    def test_int8_does_not_reuse_float_cache(self, tmp_path):
+        ckpt = str(tmp_path / "best.pth.tar")
+        open(ckpt, "wb").write(b"x")
+        float_tag = self._tag(
+            ["--evaluate", "--wire", "yuv420"], tmp_path, ckpt
+        )
+        int8_tag = self._tag(
+            ["--evaluate", "--wire", "yuv420", "--trunk_int8"], tmp_path, ckpt
+        )
+        assert float_tag != int8_tag
+
+    def test_wire_and_dtype_key_the_cache(self, tmp_path):
+        ckpt = str(tmp_path / "best.pth.tar")
+        open(ckpt, "wb").write(b"x")
+        tags = {
+            self._tag(["--evaluate", "--wire", w] + d, tmp_path, ckpt)
+            for w, d in [
+                ("rgb", []),
+                ("yuv420", []),
+                ("rgb", ["--compute_dtype", "bfloat16"]),
+            ]
+        }
+        assert len(tags) == 3
+
+    def test_different_checkpoints_never_share(self, tmp_path):
+        a, b = str(tmp_path / "a.pth.tar"), str(tmp_path / "b.pth.tar")
+        open(a, "wb").write(b"x")
+        open(b, "wb").write(b"y" * 2)
+        assert self._tag(["--evaluate"], tmp_path, a) != self._tag(
+            ["--evaluate"], tmp_path, b
+        )
+
+    def test_fake_features_single_cache(self, tmp_path):
+        cfg, extra = cli.parse(["--evaluate", "--memory_leak_debug"])
+        assert (
+            cli._ckpt_cache_tag(
+                "", cfg.eval.fake_features, mode=cli._extraction_mode_tag(cfg)
+            )
+            == "fake"
+        )

@@ -257,21 +257,27 @@ def load_variables(test_load: str, method: str, model, params, state_vars):
     return torch_import.merge_variables(init_vars, imported)
 
 
-def _ckpt_cache_tag(test_load: str, fake: bool) -> str:
-    """Identity tag of the model whose features are being cached.
+def _ckpt_cache_tag(test_load: str, fake: bool, mode: str = "") -> str:
+    """Identity tag of the model+mode whose features are being cached.
 
     The reference forces cache reads in --evaluate mode (main.py:552) and a
     shared per-run-dir pickle means a different --test_load silently reports
     the previous checkpoint's metrics. We keep the forced-read semantics but
     key the cache directory by the loaded checkpoint's path + mtime + size,
     so stale features can never be attributed to a different model.
+
+    ``mode`` is the extraction-mode identity (wire/quant/dtype): the same
+    checkpoint evaluated float and then with --trunk_int8 (or a different
+    --wire) produces different features, so the modes must not share a
+    cache either.
     """
     import hashlib
 
     if fake:
         return "fake"
+    suffix = "-" + mode if mode else ""
     if not test_load:
-        return "init"
+        return "init" + suffix
     p = os.path.abspath(test_load)
     h = hashlib.sha256(p.encode())
     try:
@@ -285,7 +291,15 @@ def _ckpt_cache_tag(test_load: str, fake: bool) -> str:
             h.update(f"{st.st_mtime_ns}:{st.st_size}".encode())
     except OSError:
         pass
-    return h.hexdigest()[:10]
+    return h.hexdigest()[:10] + suffix
+
+
+def _extraction_mode_tag(cfg) -> str:
+    """wire/quant/dtype identity of extracted features (see _ckpt_cache_tag)."""
+    parts = [cfg.eval.wire, cfg.eval.trunk_quant or "float"]
+    if cfg.model.compute_dtype != "float32":
+        parts.append(cfg.model.compute_dtype)
+    return "-".join(parts)
 
 
 def run_evaluation(cfg, extra, run_dir: RunDir):
@@ -327,7 +341,8 @@ def run_evaluation(cfg, extra, run_dir: RunDir):
         cache_dir=os.path.join(
             run_dir.path,
             "cache-"
-            + _ckpt_cache_tag(extra.get("test_load", ""), cfg.eval.fake_features),
+            + _ckpt_cache_tag(extra.get("test_load", ""), cfg.eval.fake_features,
+                              mode=_extraction_mode_tag(cfg)),
         ),
         max_batches=8 if cfg.train.debug else None,
         wire="rgb" if cfg.eval.fake_features else cfg.eval.wire,
