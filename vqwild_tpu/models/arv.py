@@ -73,6 +73,9 @@ class ARVModel(nn.Module):
     nclass: int = 200
     feat_dim: int = 512
     dropout: float = 0.5
+    # the non-local block's internal dropout (nl.py:103 hardcodes 0.2);
+    # exposed so differential tests can run fully deterministically
+    nl_dropout: float = 0.2
     temperature: float = 0.1
     moving_average: float = 0.9
     semantic_dim: int = 200
@@ -135,6 +138,7 @@ class ARVModel(nn.Module):
         nled = heads.NonLocal1D(
             channels=self.feat_dim,
             inter_channels=self.feat_dim,
+            dropout=self.nl_dropout,
             dtype=self.dtype,
             name="cls_nl",
         )(clip_embed, new_memory, train=train)

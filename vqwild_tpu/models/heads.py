@@ -37,6 +37,64 @@ def torch_bias_init(fan_in: int):
     return bias_init
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch's exact running-statistics semantics.
+
+    torch's F.batch_norm normalizes with the BIASED batch variance but
+    updates the running variance with the UNBIASED one (×n/(n−1));
+    flax.linen.BatchNorm uses the biased variance for both. The difference
+    is ~1/n relative per update — invisible at production shapes but
+    resolvable by the train-numerics differential tests at small n
+    (tests/test_train_parity.py), and it is the reference's semantics
+    (BatchNorm3d everywhere in models/resnet18_*.py), so we match it.
+
+    Collections and naming mirror flax BatchNorm: params ``scale``/``bias``,
+    batch_stats ``mean``/``var`` — checkpoint import/export and BN folding
+    (models/fold.py) are layout-unchanged.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.99  # flax convention: new = m·old + (1−m)·batch
+    epsilon: float = 1e-3
+    scale_init: Any = nn.initializers.ones
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param("scale", self.scale_init, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+        )
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            n = 1
+            for a in axes:
+                n *= x.shape[a]
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes)
+            # two-pass variance: E[(x−μ)²], matching torch. The E[x²]−E[x]²
+            # shortcut cancels catastrophically when per-channel spread is
+            # small relative to the mean (e.g. the non-local W-BN, whose
+            # batch rows are near-identical attention outputs) and visibly
+            # corrupts the BN-scale gradient.
+            var = jnp.mean(jnp.square(xf - mean), axis=axes)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var * (
+                    n / max(n - 1, 1)
+                )
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
 def dense_torch(features: int, fan_in: int, name: str, dtype=jnp.float32) -> nn.Dense:
     return nn.Dense(
         features,
@@ -133,7 +191,7 @@ class NonLocal1D(nn.Module):
         y = param_free_layernorm(y)
         y = nn.relu(y)
         y = dense_torch(self.channels, c_i, "w", self.dtype)(y)
-        y = nn.BatchNorm(
+        y = TorchBatchNorm(
             use_running_average=not train,
             epsilon=1e-5,
             momentum=0.9,
@@ -185,7 +243,7 @@ class NonLocalND(nn.Module):
         y = param_free_layernorm(y)
         y = nn.relu(y)
         y = dense_torch(c, c_i, "w", self.dtype)(y)
-        y = nn.BatchNorm(
+        y = TorchBatchNorm(
             use_running_average=not train,
             epsilon=1e-5,
             momentum=0.9,

@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from vqwild_tpu.models.heads import TorchBatchNorm
+
 conv_kaiming_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
@@ -106,7 +108,7 @@ class BasicBlock(nn.Module):
             )
 
         def bn(name, eps=None, momentum=None):
-            return nn.BatchNorm(
+            return TorchBatchNorm(
                 use_running_average=not train,
                 epsilon=self.bn_eps if eps is None else eps,
                 momentum=self.bn_momentum if momentum is None else momentum,
@@ -162,7 +164,7 @@ class ResNet18F2F(nn.Module):
                 dtype=self.dtype,
                 name="conv1",
             )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train,
             epsilon=self.bn_eps,
             momentum=self.bn_momentum,
