@@ -169,3 +169,60 @@ class TestEndToEnd:
         rb = np.argsort(-q_b @ g_b.T, axis=1, kind="stable")
         # top-1 per query must agree on a smooth 6-item gallery
         np.testing.assert_array_equal(ra[:, 0], rb[:, 0])
+
+
+class TestCalibrationPersistence:
+    """Scales persisted beside the checkpoint (models/quant.py
+    save_calibration): identical embeddings across process restarts and
+    calibration-batch orderings."""
+
+    def test_save_load_roundtrip(self, trunk_setup, tmp_path):
+        variables, (y, uv), _ = trunk_setup
+        calib = quant.calibrate_trunk(variables, y, uv)
+        path = str(tmp_path / "int8_calib.json")
+        quant.save_calibration(path, calib)
+        loaded = quant.load_calibration(path)
+        assert loaded == calib
+
+    def test_load_rejects_foreign_json(self, tmp_path):
+        import json
+
+        path = str(tmp_path / "bad.json")
+        json.dump({"maxima": {}}, open(path, "w"))
+        with pytest.raises(ValueError):
+            quant.load_calibration(path)
+
+    def test_feat_fn_pins_numerics_across_processes(self, trunk_setup, tmp_path):
+        """Process A calibrates on batch A and persists; process B (fresh
+        fn, DIFFERENT first batch) loads the file and embeds batch A
+        identically — no first-batch-order dependence."""
+        from vqwild_tpu.retrieval.features import make_feat_fn
+
+        variables, _, _ = trunk_setup
+        model = build_model(ModelConfig(method="baseline", nclass=10))
+        path = str(tmp_path / "calib.json")
+        rng_a = np.random.default_rng(21)
+        batch_a = _smooth_planes(rng_a, 2, 2, 32)
+
+        f_a = make_feat_fn(model, variables, wire="yuv420", quant="int8",
+                           calib_path=path)
+        out_a = np.asarray(f_a(*batch_a))
+        assert np.isfinite(out_a).all()
+        import os
+
+        assert os.path.exists(path)
+
+        rng_b = np.random.default_rng(99)
+        batch_b = _smooth_planes(rng_b, 2, 2, 32)
+        f_b = make_feat_fn(model, variables, wire="yuv420", quant="int8",
+                           calib_path=path)
+        _ = f_b(*batch_b)  # would have been B's calibration batch
+        out_b = np.asarray(f_b(*batch_a))
+        np.testing.assert_array_equal(out_a, out_b)
+
+        # and WITHOUT the persisted file the two orderings disagree —
+        # the regression this feature kills
+        f_c = make_feat_fn(model, variables, wire="yuv420", quant="int8")
+        _ = f_c(*batch_b)
+        out_c = np.asarray(f_c(*batch_a))
+        assert not np.array_equal(out_a, out_c)

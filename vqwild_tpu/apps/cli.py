@@ -294,6 +294,18 @@ def _ckpt_cache_tag(test_load: str, fake: bool, mode: str = "") -> str:
     return h.hexdigest()[:10] + suffix
 
 
+def _int8_calib_path(test_load: str) -> "Optional[str]":
+    """Where a checkpoint's int8 calibration scales persist (models/quant.py
+    save_calibration): beside the checkpoint, so every process serving or
+    evaluating it quantizes with identical numerics."""
+    if not test_load:
+        return None
+    p = os.path.abspath(test_load)
+    if os.path.isdir(p):
+        return os.path.join(p, "int8_calib.json")
+    return p + ".int8_calib.json"
+
+
 def _extraction_mode_tag(cfg) -> str:
     """wire/quant/dtype identity of extracted features (see _ckpt_cache_tag)."""
     parts = [cfg.eval.wire, cfg.eval.trunk_quant or "float"]
@@ -329,7 +341,8 @@ def run_evaluation(cfg, extra, run_dir: RunDir):
             extra.get("test_load", ""), cfg.model.method, model, params, state_vars
         )
         feat_fn = make_feat_fn(model, variables, mesh=mesh, wire=cfg.eval.wire,
-                               quant=cfg.eval.trunk_quant)
+                               quant=cfg.eval.trunk_quant,
+                               calib_path=_int8_calib_path(extra.get("test_load", "")))
     extractor = FeatureExtractor(
         feat_fn,
         store,

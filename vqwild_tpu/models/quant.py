@@ -50,6 +50,36 @@ from vqwild_tpu.models.fold import (
 
 _STAGES = ((1, 64), (2, 128), (3, 256), (4, 512))
 
+_CALIB_FORMAT = "vqwild-int8-calib-v1"
+
+
+def save_calibration(path: str, calib: Dict[str, float]) -> None:
+    """Persist calibration maxima as JSON (atomic rename).
+
+    Calibration is otherwise ephemeral first-batch closure state: two
+    serving processes (or a restart) would calibrate on different batches
+    and embed the SAME checkpoint slightly differently — a gallery built by
+    one process then disagrees with the queries of another. Persisting the
+    scales next to the checkpoint pins the quantized program's numerics.
+    """
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"format": _CALIB_FORMAT, "maxima": calib}, f, indent=1)
+    os.replace(tmp, path)
+
+
+def load_calibration(path: str) -> Dict[str, float]:
+    import json
+
+    with open(path) as f:
+        payload = json.load(f)
+    if payload.get("format") != _CALIB_FORMAT:
+        raise ValueError(f"{path}: not a {_CALIB_FORMAT} file")
+    return {k: float(v) for k, v in payload["maxima"].items()}
+
 
 def _stem_input_scales() -> np.ndarray:
     """Static per-channel scales of the centered YUV s2d feed (6 channels).

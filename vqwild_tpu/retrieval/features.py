@@ -34,7 +34,7 @@ log = get_logger("retrieval.features")
 
 def make_feat_fn(
     model, variables, mesh=None, wire: str = "rgb", folded: bool = True,
-    quant: Optional[str] = None,
+    quant: Optional[str] = None, calib_path: Optional[str] = None,
 ) -> Callable:
     """Returns f(clips [B,T,s,s,C] uint8-cropped or float) → np [B, C, T],
     frame embeddings L2-normalized across channels (main.py:232). uint8 input
@@ -55,7 +55,10 @@ def make_feat_fn(
     trunk (models/quant.py, ~1.33x device throughput on v5e): calibration
     runs a float shadow on the FIRST batch this fn sees, then every batch —
     including that one — is embedded through the int8 graph, so features are
-    uniform and deterministic given the batch stream.
+    uniform and deterministic given the batch stream. ``calib_path`` pins
+    the numerics across processes: an existing file is loaded instead of
+    calibrating (no batch-order dependence at all); otherwise the
+    first-batch calibration is saved there for the next process.
 
     With a mesh, extraction batches shard over the ``data`` axis (rows are
     edge-padded to the shard multiple and cropped after) — the multi-chip
@@ -76,21 +79,39 @@ def make_feat_fn(
         # scales would become nondeterministic and the float shadow would
         # run twice
 
+        def _mesh_device():
+            if mesh is None:
+                return None
+            # params replicate over the mesh (they are jit args; their
+            # sharding must compose with the sharded batch)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return NamedSharding(mesh, PartitionSpec())
+
+        if calib_path is not None and os.path.exists(calib_path):
+            cell["fn"] = quant_mod.make_int8_embed_fn(
+                variables,
+                None,
+                calib=quant_mod.load_calibration(calib_path),
+                device=_mesh_device(),
+                bn_eps=model.bn_eps,
+            )
+
         def _fwd(*planes):
             if "fn" not in cell:
                 with cell_lock:
                     if "fn" not in cell:
-                        calib = tuple(np.asarray(p) for p in planes)
-                        dev = None
-                        if mesh is not None:
-                            # params replicate over the mesh (they are jit
-                            # args; their sharding must compose with the
-                            # sharded batch)
-                            from jax.sharding import NamedSharding, PartitionSpec
-
-                            dev = NamedSharding(mesh, PartitionSpec())
+                        calib_planes = tuple(np.asarray(p) for p in planes)
+                        calib = quant_mod.calibrate_trunk(
+                            variables, *calib_planes, bn_eps=model.bn_eps
+                        )
+                        if calib_path is not None:
+                            quant_mod.save_calibration(calib_path, calib)
                         cell["fn"] = quant_mod.make_int8_embed_fn(
-                            variables, calib, device=dev,
+                            variables,
+                            None,
+                            calib=calib,
+                            device=_mesh_device(),
                             bn_eps=model.bn_eps,
                         )
             return cell["fn"](*planes)
