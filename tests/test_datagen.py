@@ -206,3 +206,119 @@ class TestMomentDB:
         loaded = load_moment_db(path)
         assert len(loaded.gallery) == len(db["gallery"])
         assert all(g.annotations is not None for g in loaded.gallery)
+
+
+class TestStatsReports:
+    """datagen stats: the reference's design-analysis numbers
+    (1_generate_trainvaltest.py:172-275, 2_generate_moment_test.py:56-159)
+    recomputed from the emitted DB files."""
+
+    def _spec(self):
+        from vqwild_tpu.data.labels import SplitSpec
+
+        return SplitSpec(
+            name="t",
+            train_labels=("a", "b"),
+            val_labels=("v",),
+            test_labels=("n",),
+            db_json="",
+            moment_db_json="",
+        )
+
+    def test_split_statistics_counts_and_hists(self):
+        from vqwild_tpu.datagen import stats as st
+
+        def rec(seg, border):
+            return {"segment": list(seg), "border": list(border)}
+
+        db = {
+            "training": {
+                "a": [rec((0, 30), (0, 60)), rec((0, 10), (0, 100))],
+                "b": [rec((5, 55), (0, 100))],
+                "v": [],
+                "n": [],
+                st.NOISE_LABEL: [rec((0, 20), (0, 20))] * 3,
+            },
+        }
+        out = st.split_statistics(db, self._spec())
+        tr = out["training"]
+        assert tr["total_videos"] == 6
+        assert tr["non_noise_videos"] == 3 and tr["noise_videos"] == 3
+        assert tr["class_counts"]["base"] == {"a": 2, "b": 1}
+        # fg durations 30, 10, 50 → bins [0,20):1 [20,40):1 [40,60):1
+        assert tr["fg_duration_hist"]["counts"][:3] == [1, 1, 1]
+        # fg/bg ratios 0.5, 0.1, 0.5 → bin [0.1,0.2):1, [0.5,0.6):2
+        assert tr["fg_bg_ratio_hist"]["counts"][1] == 1
+        assert tr["fg_bg_ratio_hist"]["counts"][5] == 2
+
+    def test_moment_coverage_hand_golden(self):
+        """One annotation, hand-checked against the reference's
+        integer-snap formula (2_generate_moment_test.py:99-133)."""
+        from vqwild_tpu.datagen import stats as st
+
+        mdb = {
+            "query": [{}] * 4,
+            "gallery": [
+                {
+                    "activitynet_duration": 60.0,
+                    # [7.5, 22.5) @ clip_sec=5 → clip idx [1.5, 4.5);
+                    # best snap [1,5) or [2,4): iou = 3/4 or 2/3 → 0.75
+                    "annotations": [{"segment": [7.5, 22.5], "label": "a"}],
+                },
+                {
+                    "activitynet_duration": 100.0,
+                    # 80s long @ clip_sec=5, cap 14 clips → 14*5/80 = 0.875
+                    "annotations": [
+                        {"segment": [10.0, 90.0], "label": "b"},
+                        {"segment": [5.0, 5.0], "label": "a"},  # degenerate
+                        {"segment": [0.0, 50.0], "label": "v"},  # val label
+                    ],
+                },
+            ],
+        }
+        out = st.moment_coverage(
+            mdb, val_labels=("v",), clip_secs=(5,), max_clips=(14,)
+        )
+        assert out["query_number"] == 4 and out["gallery_number"] == 2
+        g = out["coverage_grid"][0]
+        assert g["annotations"] == 2
+        # ious {0.75, 0.875} → both > 0.5, one > 0.7... both > 0.7
+        assert g["iou05"] == 1.0 and g["iou07"] == 1.0
+        out2 = st.moment_coverage(
+            mdb, val_labels=("v",), clip_secs=(5,), max_clips=(2,)
+        )
+        # cap 2 clips: short ann spans 3 clips > cap → 2/3 ≈ 0.667;
+        # long ann → 2*5/80 = 0.125
+        g2 = out2["coverage_grid"][0]
+        assert g2["iou05"] == 0.5 and g2["iou07"] == 0.0
+
+    def test_cli_stats_subcommand(self, tmp_path, capsys):
+        import json as _json
+
+        from vqwild_tpu.datagen.__main__ import main as dg_main
+
+        sys_path_root = str(tmp_path)
+        db = {
+            "training": {"a": [], "b": [], "v": [], "n": []},
+            "validation": {},
+            "testing": {},
+        }
+        mdb = {"query": [], "gallery": []}
+        dbp = f"{sys_path_root}/db.json"
+        mp = f"{sys_path_root}/mdb.json"
+        _json.dump(db, open(dbp, "w"))
+        _json.dump(mdb, open(mp, "w"))
+        outp = f"{sys_path_root}/report.json"
+        dg_main(
+            [
+                "stats",
+                "--db", dbp,
+                "--untrimmed", mp,
+                "--meta_split", "100_20_80",
+                "--json_out", outp,
+            ]
+        )
+        text = capsys.readouterr().out
+        assert "clip moment statistics" in text
+        report = _json.load(open(outp))
+        assert "split" in report and "moment" in report

@@ -49,6 +49,18 @@ def main(argv=None):
     s4.add_argument("--format", choices=["rgb", "yuv420"], default="rgb",
                     help="yuv420: half the disk AND the host→device bytes")
 
+    s5 = sub.add_parser(
+        "stats",
+        help="dataset statistics / design-analysis reports "
+             "(1_generate_trainvaltest.py:172-275, "
+             "2_generate_moment_test.py:56-159)",
+    )
+    s5.add_argument("--db", default="", help="trimmed split DB json")
+    s5.add_argument("--untrimmed", default="", help="moment DB json (v1/v2)")
+    s5.add_argument("--meta_split", default="100_20_80")
+    s5.add_argument("--json_out", default="",
+                    help="also dump the structured report as JSON")
+
     args = p.parse_args(argv)
 
     if args.cmd == "segments":
@@ -108,6 +120,27 @@ def main(argv=None):
         else:
             PackedFrameStore.pack_from_jpeg(args.jpeg_root, args.out_root)
         print(f"packed ({args.format}) → {args.out_root}")
+    elif args.cmd == "stats":
+        from vqwild_tpu.datagen import stats as st
+
+        if not args.db and not args.untrimmed:
+            p.error("stats needs --db and/or --untrimmed")
+        spec = get_split(args.meta_split)
+        report = {}
+        if args.db:
+            with open(args.db) as f:
+                db = json.load(f)
+            report["split"] = st.split_statistics(db, spec)
+            print(st.format_split_report(report["split"]))
+        if args.untrimmed:
+            with open(args.untrimmed) as f:
+                mdb = json.load(f)
+            report["moment"] = st.moment_coverage(mdb, spec.val_labels)
+            print(st.format_coverage_report(report["moment"]))
+        if args.json_out:
+            with open(args.json_out, "w") as f:
+                json.dump(report, f, indent=1)
+            print(f"wrote {args.json_out}")
 
 
 if __name__ == "__main__":
