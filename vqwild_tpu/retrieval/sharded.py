@@ -26,14 +26,22 @@ class GalleryScorer:
     """Holds the (optionally sharded) gallery on device; scores query chunks."""
 
     def __init__(self, gallery_feats: np.ndarray, mesh: Optional[Mesh] = None,
-                 axis: str = "data"):
+                 axis="data"):
+        """``axis``: mesh axis name, or a tuple of names to shard the gallery
+        rows over several axes jointly — e.g. ``("data", "model")`` reuses
+        the 2-axis training mesh for eval with every device holding a row
+        shard, instead of rebuilding a 1-axis mesh between phases."""
         self.n = gallery_feats.shape[0]
         self.mesh = mesh
         if mesh is not None:
-            n_shards = mesh.shape[axis]
+            axes = (axis,) if isinstance(axis, str) else tuple(axis)
+            n_shards = 1
+            for a in axes:
+                n_shards *= mesh.shape[a]
             padded, _ = pad_to_multiple(np.asarray(gallery_feats), n_shards)
             self.n_padded = padded.shape[0]
-            self.g_dev = jax.device_put(padded, NamedSharding(mesh, P(axis)))
+            spec = P(axes[0] if len(axes) == 1 else axes)
+            self.g_dev = jax.device_put(padded, NamedSharding(mesh, spec))
             self._q_sharding = NamedSharding(mesh, P())  # queries replicate
         else:
             self.n_padded = self.n
