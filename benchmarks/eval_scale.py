@@ -26,6 +26,8 @@ def main():
                    help="subsample of moment queries (full QxG scoring is matmul-bound)")
     p.add_argument("--platform", default="")
     p.add_argument("--skip_moment", action="store_true")
+    p.add_argument("--json_out", default="",
+                   help="write totals + per-phase moment timings as JSON")
     args = p.parse_args()
 
     import jax
@@ -78,14 +80,20 @@ def main():
         )
 
     print(f"devices: {jax.devices()}", flush=True)
+    report = {
+        "platform": jax.devices()[0].platform,
+        "meta_split": args.meta_split,
+    }
 
     t0 = time.time()
     r = ARVRetrievalTrimmed(db, spec, extractor(), eval_split="testing").evaluation()
-    print(f"TRIMMED  full-scale: {time.time()-t0:.1f}s  ap={r['ap']:.4f}", flush=True)
+    report["trimmed_s"] = round(time.time() - t0, 2)
+    print(f"TRIMMED  full-scale: {report['trimmed_s']:.1f}s  ap={r['ap']:.4f}", flush=True)
 
     t0 = time.time()
     rc = ARVRetrievalClip(mdb, spec, extractor(), check_completeness=False).evaluation()
-    print(f"CLIP     full-scale: {time.time()-t0:.1f}s  ap={rc['ap']:.4f}", flush=True)
+    report["clip_s"] = round(time.time() - t0, 2)
+    print(f"CLIP     full-scale: {report['clip_s']:.1f}s  ap={rc['ap']:.4f}", flush=True)
 
     if not args.skip_moment:
         t0 = time.time()
@@ -93,11 +101,24 @@ def main():
         if args.moment_queries:
             ev.queries = ev.queries[: args.moment_queries]
         rm = ev.evaluation()
+        report["moment_s"] = round(time.time() - t0, 2)
+        report["moment_queries"] = len(ev.queries)
+        report["moment_phases_s"] = {
+            k: round(v, 2) for k, v in sorted(ev.timings.items())
+        }
         print(
-            f"MOMENT   {len(ev.queries)} queries: {time.time()-t0:.1f}s  "
+            f"MOMENT   {len(ev.queries)} queries: {report['moment_s']:.1f}s  "
             f"ap={rm['map05']['ap']:.4f}",
             flush=True,
         )
+        print(f"MOMENT phases: {report['moment_phases_s']}", flush=True)
+
+    if args.json_out:
+        import json
+
+        with open(args.json_out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {args.json_out}", flush=True)
 
 
 if __name__ == "__main__":

@@ -24,6 +24,8 @@ pool (cpu_count()//4 workers) with a thread pool over the numpy/C++ kernel
 from __future__ import annotations
 
 import concurrent.futures
+import time
+from contextlib import contextmanager
 from typing import List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -43,6 +45,17 @@ from vqwild_tpu.retrieval.multiquery import generate_multi_query
 from vqwild_tpu.retrieval.sharded import GalleryScorer
 
 log = get_logger("retrieval.moment")
+
+
+@contextmanager
+def _phase(timings, key):
+    """Accumulate wall time into timings[key] — per-phase cost accounting
+    for the production-scale eval benchmark (benchmarks/eval_scale.py)."""
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        timings[key] = timings.get(key, 0.0) + time.perf_counter() - t0
 
 
 def temporal_iou(min1, max1, min2, max2) -> float:
@@ -188,6 +201,8 @@ class ARVRetrievalMoment:
         self.possible_classes = set(spec.possible_classes("testing"))
         self.queries: List[VideoRecord] = db.nonnoise_queries()
         self.gallery_videos: List[VideoRecord] = db.gallery
+        # per-phase wall-time accounting, populated by evaluation()
+        self.timings: dict = {}
 
     def build_gallery(self):
         """→ feats [G,C], video_idx [G], start/end_sec [G], hit_label [G],
@@ -204,7 +219,8 @@ class ARVRetrievalMoment:
                 cache["hit_label"],
                 cache["hit_iou"],
             )
-        tapes = self.extractor.extract_video_tapes(self.gallery_videos)
+        with _phase(self.timings, "tape_build"):
+            tapes = self.extractor.extract_video_tapes(self.gallery_videos)
         # Two passes with preallocated arenas: at production scale there are
         # ~10^6 moments, and per-block allocations pay this container's
         # pathological page-fault cost (see ops.segment_pool.HostWindowPooler).
@@ -230,21 +246,22 @@ class ARVRetrievalMoment:
         h_label = np.empty(total, object)
         pooler = HostWindowPooler()
         off = 0
-        for vi, (video, tape) in enumerate(zip(self.gallery_videos, tapes)):
-            starts, ends, locs = windows[vi]
-            w = len(starts)
-            if w == 0:
-                continue
-            pooler(tape, starts, ends, out=feats[off : off + w])
-            vidx[off : off + w] = vi
-            s_sec[off : off + w] = locs[:, 0]
-            e_sec[off : off + w] = locs[:, 1]
-            labels_v, ious_v = closest_hits_vectorized(
-                video.annotations, locs, self.possible_classes
-            )
-            h_label[off : off + w] = labels_v
-            h_iou[off : off + w] = ious_v
-            off += w
+        with _phase(self.timings, "window_pool"):
+            for vi, (video, tape) in enumerate(zip(self.gallery_videos, tapes)):
+                starts, ends, locs = windows[vi]
+                w = len(starts)
+                if w == 0:
+                    continue
+                pooler(tape, starts, ends, out=feats[off : off + w])
+                vidx[off : off + w] = vi
+                s_sec[off : off + w] = locs[:, 0]
+                e_sec[off : off + w] = locs[:, 1]
+                labels_v, ious_v = closest_hits_vectorized(
+                    video.annotations, locs, self.possible_classes
+                )
+                h_label[off : off + w] = labels_v
+                h_iou[off : off + w] = ious_v
+                off += w
         log.info(
             "moment gallery: %d moments (%.1f / video)",
             total,
@@ -263,7 +280,8 @@ class ARVRetrievalMoment:
         return out
 
     def evaluation(self) -> dict:
-        q_feats_all = self.extractor.extract_trimmed(self.queries)
+        with _phase(self.timings, "query_feats"):
+            q_feats_all = self.extractor.extract_trimmed(self.queries)
         pool = self.queries[: q_feats_all.shape[0]]  # capped in debug
         keep = [i for i, q in enumerate(pool) if q.label in self.possible_classes]
         queries = [pool[i] for i in keep]
@@ -309,7 +327,11 @@ class ARVRetrievalMoment:
         # payload over the kept grouped-order stream (retrieval/diagnostics.py)
         diag = DiagnosticsCollector(self.robust_map) if self.collect_diagnostics else None
 
-        scorer = GalleryScorer(feats, mesh=self.mesh)
+        with _phase(self.timings, "gallery_to_device"):
+            scorer = GalleryScorer(feats, mesh=self.mesh)
+            import jax as _jax
+
+            _jax.block_until_ready(scorer.g_dev)
         pool = concurrent.futures.ThreadPoolExecutor(max_workers=self.workers)
         try:
             for cstart in range(0, len(expanded), self.rank_chunk):
@@ -320,7 +342,14 @@ class ARVRetrievalMoment:
                         for qs in batch
                     ]
                 )
-                scores = np.asarray(scorer.scores(qf))[:, : scorer.n]
+                import jax as _jax
+
+                with _phase(self.timings, "score_device"):
+                    dev_scores = scorer.scores(qf)
+                    _jax.block_until_ready(dev_scores)
+                with _phase(self.timings, "score_readback"):
+                    scores = np.asarray(dev_scores)[:, : scorer.n]
+                del dev_scores
 
                 if use_native:
                     max_ig = max(len(qs) for qs in batch)
@@ -334,21 +363,22 @@ class ARVRetrievalMoment:
                             if gidx is not None:
                                 ignore_vids[bi, k] = gidx
                                 k += 1
-                    aps, recalls = native_lib.moment_batch(
-                        scores,
-                        vidx,
-                        s_sec,
-                        e_sec,
-                        hit_label_ids,
-                        h_iou,
-                        q_label_ids,
-                        ignore_vids,
-                        self.nms_threshold,
-                        self.tiou_threshold,
-                        self.r_at_n,
-                        self.robust_map,
-                        n_threads=self.workers,
-                    )
+                    with _phase(self.timings, "postprocess"):
+                        aps, recalls = native_lib.moment_batch(
+                            scores,
+                            vidx,
+                            s_sec,
+                            e_sec,
+                            hit_label_ids,
+                            h_iou,
+                            q_label_ids,
+                            ignore_vids,
+                            self.nms_threshold,
+                            self.tiou_threshold,
+                            self.r_at_n,
+                            self.robust_map,
+                            n_threads=self.workers,
+                        )
                     for bi, qs in enumerate(batch):
                         q = queries[qs[0]]
                         agg.add(
@@ -381,6 +411,7 @@ class ARVRetrievalMoment:
                     )
                     return (q,) + tuple(out)
 
+                t_post = time.perf_counter()
                 for res in pool.map(one, enumerate(batch)):
                     q, ap, recalls = res[0], res[1], res[2]
                     agg.add(q.label, q.retrieval_type, ap, recalls)
@@ -405,6 +436,9 @@ class ARVRetrievalMoment:
                                 for g in top[:30]
                             ],
                         )
+                self.timings["postprocess"] = self.timings.get(
+                    "postprocess", 0.0
+                ) + (time.perf_counter() - t_post)
         finally:
             pool.shutdown()
         result = agg.result()
