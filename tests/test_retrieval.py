@@ -211,6 +211,45 @@ class TestMomentEval:
         assert "map05" in result
         assert 0.0 <= result["map05"]["ap"] <= 1.0
 
+    def test_bf16_score_readback_matches_fp32(self, tiny_arv):
+        """score_readback_dtype="bfloat16" halves the dominant device→host
+        transfer (benchmarks/EVAL_SCALE_r03_tpu_moment.json: 226 s of 334 s
+        at production scale through the relay); headline metrics must agree
+        with the fp32 path up to bf16 rounding-level rank flips."""
+        mdb = load_moment_db(tiny_arv["moment_path"])
+
+        def run(dtype):
+            ev = ARVRetrievalMoment(
+                mdb,
+                tiny_arv["spec"],
+                fake_extractor(),
+                moment_clip_sec=5,
+                max_clips_per_moment=3,
+                r_at_n=(5, 10, 30),
+                rank_chunk=6,
+                workers=2,
+                score_readback_dtype=dtype,
+            )
+            r = ev.evaluation()["map05"]
+            return r
+
+        r32 = run("float32")
+        r16 = run("bfloat16")
+        for key in ("ap", "base_map", "novel_map"):
+            assert abs(r32[key] - r16[key]) < 5e-3, (key, r32[key], r16[key])
+        for n in r32["recall"]:
+            # R@N on the tiny fixture moves in 1/npos steps, so one
+            # near-tie rank flip shifts it by ~1e-2; allow single-flip scale
+            assert abs(r32["recall"][n] - r16["recall"][n]) < 2e-2
+
+    def test_bad_readback_dtype_rejected(self, tiny_arv):
+        mdb = load_moment_db(tiny_arv["moment_path"])
+        with pytest.raises(ValueError):
+            ARVRetrievalMoment(
+                mdb, tiny_arv["spec"], fake_extractor(),
+                score_readback_dtype="fp8",
+            )
+
 
 class TestClosestHitsVectorized:
     @pytest.mark.parametrize("seed", range(4))

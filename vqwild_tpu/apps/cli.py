@@ -130,6 +130,11 @@ def parse(argv=None) -> ExperimentConfig:
                         "post-training-quantized trunk (requires --wire "
                         "yuv420; ~1.33x device throughput, calibrated on "
                         "the first batch — models/quant.py)")
+    p.add_argument("--score_readback_dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="moment eval: dtype of the device→host score "
+                        "transfer; bfloat16 halves the dominant readback "
+                        "bytes at production scale (retrieval/moment.py)")
     p.add_argument("--nonfinite_policy", choices=["halt", "warn"], default="halt",
                    help="NaN/Inf-loss failure detection: halt raises at the "
                         "next loss sync (resume from the last checkpoint); "
@@ -187,6 +192,7 @@ def parse(argv=None) -> ExperimentConfig:
         collect_diagnostics=args.collect_diagnostics,
         wire=args.wire,
         trunk_quant="int8" if args.trunk_int8 else None,
+        score_readback_dtype=args.score_readback_dtype,
     )
     cfg = ExperimentConfig(data=data, model=model, train=train, eval=ev, run_dir=args.run_dir)
     cfg_extra = dict(
@@ -417,6 +423,7 @@ def run_evaluation(cfg, extra, run_dir: RunDir):
                 workers=cfg.data.workers,
                 collect_diagnostics=cfg.eval.collect_diagnostics,
                 mesh=mesh,
+                score_readback_dtype=cfg.eval.score_readback_dtype,
             ).evaluation()
     run_dir.write_metrics("evaluation", results)
     for name, r in results.items():

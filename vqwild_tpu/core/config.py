@@ -102,6 +102,9 @@ class EvalConfig:
     # serve feature extraction through the int8 PTQ trunk (models/quant.py;
     # requires wire="yuv420"); None = float trunk
     trunk_quant: Optional[str] = None
+    # moment eval: dtype of the device→host score transfer ("bfloat16"
+    # halves the dominant readback bytes; retrieval/moment.py)
+    score_readback_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -180,6 +180,7 @@ class ARVRetrievalMoment:
         workers: int = 8,
         collect_diagnostics: bool = False,
         mesh=None,
+        score_readback_dtype: str = "float32",
     ):
         self.extractor = extractor
         self.moment_clip_sec = moment_clip_sec
@@ -198,6 +199,14 @@ class ARVRetrievalMoment:
         self.workers = max(1, workers)
         self.collect_diagnostics = collect_diagnostics
         self.mesh = mesh
+        # "bfloat16" halves the [rank_chunk, ~10^6-moment] device→host score
+        # transfer — the dominant cost behind a slow link (measured 226 s of
+        # 334 s for fp32 at production scale through the dev relay). Metric
+        # impact is rounding-level rank flips between near-tied moments
+        # (tests/test_retrieval.py asserts headline-metric agreement).
+        if score_readback_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown score_readback_dtype {score_readback_dtype!r}")
+        self.score_readback_dtype = score_readback_dtype
         self.possible_classes = set(spec.possible_classes("testing"))
         self.queries: List[VideoRecord] = db.nonnoise_queries()
         self.gallery_videos: List[VideoRecord] = db.gallery
@@ -344,11 +353,16 @@ class ARVRetrievalMoment:
                 )
                 import jax as _jax
 
+                bf16 = self.score_readback_dtype == "bfloat16"
                 with _phase(self.timings, "score_device"):
-                    dev_scores = scorer.scores(qf)
+                    dev_scores = scorer.scores(
+                        qf, out_dtype=jnp.bfloat16 if bf16 else None
+                    )
                     _jax.block_until_ready(dev_scores)
                 with _phase(self.timings, "score_readback"):
                     scores = np.asarray(dev_scores)[:, : scorer.n]
+                    if bf16:  # postprocess consumes fp32 (host widen is cheap)
+                        scores = scores.astype(np.float32)
                 del dev_scores
 
                 if use_native:

@@ -59,9 +59,18 @@ class GalleryScorer:
         )
         return tp, ignore
 
-    def scores(self, qfeats: np.ndarray):
-        """[B, D] queries → [B, n_padded] scores (device array)."""
+    def scores(self, qfeats: np.ndarray, out_dtype=None):
+        """[B, D] queries → [B, n_padded] scores (device array).
+
+        ``out_dtype`` casts on device before any host readback — shipping
+        bf16 halves the device→host score bytes, which dominates moment
+        eval behind a slow link (measured 226 s of a 334 s run for
+        128×1.64M fp32 scores through the dev relay;
+        benchmarks/EVAL_SCALE_r03_tpu_moment.json)."""
         q = jnp.asarray(qfeats)
         if self._q_sharding is not None:
             q = jax.device_put(q, self._q_sharding)
-        return score_matrix(q, self.g_dev)
+        s = score_matrix(q, self.g_dev)
+        if out_dtype is not None:
+            s = s.astype(out_dtype)
+        return s
