@@ -447,6 +447,51 @@ class TestTrimmedEndToEnd:
         ).evaluation()
         _assert_results_match(ref, ours)
 
+        # cm_dict diagnostics: the system-level y_true/y_pred streams
+        # (ignore-filtered, robust-flipped, concatenated in query order)
+        ref_sys = ref["cm_dict"]["system_ap_dict"]
+        our_sys = ours["cm_dict"]["system_ap_dict"]
+        for key in ("y_true", "base_y_true", "novel_y_true"):
+            np.testing.assert_array_equal(
+                np.asarray(our_sys[key]), np.asarray(ref_sys[key]), err_msg=key
+            )
+        for key in ("y_pred", "base_y_pred", "novel_y_pred"):
+            np.testing.assert_allclose(
+                np.asarray(our_sys[key], np.float64),
+                np.asarray(ref_sys[key], np.float64),
+                atol=1e-4,
+                err_msg=key,
+            )
+        # confusion-matrix label streams and top-30 payload sizes
+        assert ours["cm_dict"]["gt_labels"] == ref["cm_dict"]["gt_labels"]
+        assert ours["cm_dict"]["label"] == ref["cm_dict"]["label"]
+        assert len(ours["cm_dict"]["top30_result_list"]) == len(
+            ref["cm_dict"]["top30_result_list"]
+        )
+
+
+class TestTrimmedMultiQueryEndToEnd:
+    def test_query_num_2_matches_reference(self, ref_env, world):
+        """query_num>1 averages the first N expanded query features and the
+        whole 5-video expansion stays excluded (dataloader_baseline.py:
+        1588-1591, :1532) — the averaging path the default leaves cold."""
+        ref = ref_env.ARV_Retrieval(
+            _ref_args(query_num=2), _ref_feat_fn
+        ).evaluation()
+
+        from vqwild_tpu.data.schema import load_trimmed_db
+        from vqwild_tpu.retrieval.trimmed import ARVRetrievalTrimmed
+
+        ours = ARVRetrievalTrimmed(
+            load_trimmed_db(world["trimmed_path"]),
+            world["spec"],
+            _our_extractor(world),
+            eval_split="testing",
+            query_num=2,
+            collect_diagnostics=True,
+        ).evaluation()
+        _assert_results_match(ref, ours)
+
 
 class TestClipEndToEnd:
     def test_full_pipeline_matches_reference(self, ref_env, world):
@@ -599,3 +644,297 @@ class TestTrimmedRealDBInjected:
             collect_diagnostics=True,
         ).evaluation()
         _assert_results_match(ref, ours)
+
+
+# ---------------------------------------------------------------------------
+# Tier 2b: real untrimmed DB (subsampled) — clip + moment evaluators, with
+# upstream's frame IO virtualized (no frames exist for the real videos).
+# ---------------------------------------------------------------------------
+#
+# The frame-dependent pieces (JPEG decode, sampling policy, CenterCrop) are
+# differentially covered by Tier 1 with real frames; here they are replaced
+# by a shared deterministic frame-value convention so the REAL durations,
+# annotation distributions, and boundary cases of arv_db_100_20_80_untrimmed
+# drive upstream's chunking, garner/cal_label windowing, moment enumeration,
+# NMS and metrics against ours. Upstream's read_activitynet/read_video are
+# monkeypatched to the convention (frame count = int(duration*3), frame i of
+# video v = crc32("v:i") bytes); our stack consumes the same convention
+# through a FrameStore, running its REAL read/sample/crop/chunk path.
+
+
+def _frame_value(video_id: str, idx: int) -> np.ndarray:
+    h = zlib.crc32(f"{video_id}:{idx}".encode())
+    return np.array([h & 0xFF, (h >> 8) & 0xFF, (h >> 16) & 0xFF], np.uint8)
+
+
+@pytest.fixture(scope="module")
+def real_untrimmed_slice(ref_env, tmp_path_factory):
+    root = tmp_path_factory.mktemp("realuslice")
+    src = os.path.join(
+        REF_ROOT, "data_generate", "arv_db_100_20_80_untrimmed.json"
+    )
+    raw = json.load(open(src))
+    from misc_utils.utils_dataset import dataset_config
+
+    cfg = dataset_config["100_20_80"]
+    possible = set(cfg["arv_train_label"] + cfg["arv_test_label"])
+
+    # choose queries first (classes with >=2 distinct query videos — the
+    # multi-query expansion requires it), then build the gallery from those
+    # videos plus unrelated padding videos
+    by_label = {}
+    for q in raw["query"]:
+        if q["retrieval_type"] == "noise" or q["label"] not in possible:
+            continue
+        by_label.setdefault(q["label"], []).append(q)
+    queries = []
+    for label, qs in sorted(by_label.items())[:8]:
+        if len({q["video_id"] for q in qs}) >= 2:
+            queries.extend(qs[:4])
+    assert len(queries) >= 20, len(queries)
+    q_vids = {q["video_id"] for q in queries}
+    by_id = {g["video_id"]: g for g in raw["gallery"]}
+    gallery = [by_id[v] for v in sorted(q_vids) if v in by_id]
+    for g in raw["gallery"]:
+        if len(gallery) >= 70:
+            break
+        if g["video_id"] not in q_vids:
+            gallery.append(g)
+
+    # Upstream's class-completeness asserts (dataloader_baseline.py:862-870,
+    # :1186-1194) require EVERY possible class to appear covered in the
+    # gallery — unattainable for a slice of the 180-class universe. The
+    # label partition is config (dataset_config), so restrict it (on both
+    # stacks) to the classes this slice actually covers: a clip-covering
+    # annotation for the clip assert, any allowed annotation for moment's.
+    def covers_clip(ann, dur):
+        a, b = ann["segment"]
+        for start in range(0, int(dur), 6):  # clip_sec=6 grid
+            if a <= start and b >= start + 6:
+                return True
+        return False
+
+    covered_clip = set()
+    for g in gallery:
+        for ann in g["annotations"]:
+            if ann["label"] in possible and covers_clip(
+                ann, g["activitynet_duration"]
+            ):
+                covered_clip.add(ann["label"])
+
+    def iou(a0, a1, b0, b1):
+        ov = max(0.0, min(a1, b1) - max(a0, b0))
+        return ov / (max(a1, b1) - min(a0, b0))
+
+    # classes that win at least one moment's closest-hit argmax (coarse
+    # simulation of the 5s x 1..26-clip grid) — moment's completeness assert
+    def moment_winners(g, allowed):
+        dur = int(g["activitynet_duration"])
+        anns = [a for a in g["annotations"] if a["label"] in allowed]
+        winners = set()
+        for n in range(1, 27):
+            span = 5 * n
+            for s in range(0, dur - span, 5):
+                best, best_i = None, -1.0
+                for a in anns:
+                    i = iou(a["segment"][0], a["segment"][1], s, s + span)
+                    if i > best_i:
+                        best, best_i = a["label"], i
+                if best is not None:
+                    winners.add(best)
+        return winners
+
+    covered_m = set()
+    for g in gallery:
+        covered_m |= moment_winners(g, covered_clip)
+    covered = covered_clip & covered_m
+    train_r = [l for l in cfg["arv_train_label"] if l in covered]
+    test_r = [l for l in cfg["arv_test_label"] if l in covered]
+    queries = [q for q in queries if q["label"] in covered]
+    q_classes = {}
+    for q in queries:
+        q_classes.setdefault(q["label"], set()).add(q["video_id"])
+    queries = [q for q in queries if len(q_classes[q["label"]]) >= 2]
+    assert len(queries) >= 15, len(queries)
+
+    path = str(root / "arv_db_untrimmed_slice.json")
+    json.dump({"query": queries, "gallery": gallery}, open(path, "w"))
+
+    durations = {
+        r["video_id"]: r["activitynet_duration"]
+        for r in gallery + queries
+    }
+    return dict(
+        root=str(root),
+        path=path,
+        durations=durations,
+        train_labels=train_r,
+        test_labels=test_r,
+    )
+
+
+@pytest.fixture()
+def virtual_frames(ref_env, real_untrimmed_slice):
+    """Patch upstream's frame IO to the shared frame-value convention."""
+    import torch
+
+    durations = real_untrimmed_slice["durations"]
+
+    def fake_read_activitynet(video_dict):
+        n = max(1, int(durations[video_dict["video_id"]] * 3))
+        start = int(video_dict["segment"][0] * 3)
+        frames = int(
+            (video_dict["segment"][1] - video_dict["segment"][0]) * 3
+        )
+        return start, frames, "VIRT/" + video_dict["video_id"], n
+
+    def fake_read_video(start_frame_idx, gt_frame_num, train_frame_num,
+                        video_transform, frame_path, activitynet_frame_num):
+        video_id = frame_path.split("/", 1)[1]
+
+        def read_img(loc):
+            ii = int(np.floor(loc))
+            ii = 1 if ii <= 0 else ii
+            ii = activitynet_frame_num if ii > activitynet_frame_num else ii
+            v = _frame_value(video_id, ii).astype(np.float32) / 255.0
+            frame = np.broadcast_to(
+                v, (INPUT_SIZE, INPUT_SIZE, 3)
+            ).astype(np.float32)
+            return (frame - _IMNET_MEAN) / _IMNET_STD
+
+        images = []
+        if gt_frame_num < train_frame_num:
+            for i in range(train_frame_num):
+                idd = start_frame_idx + (i % gt_frame_num) + 1
+                images.append(read_img(idd))
+        else:
+            for loc in np.linspace(
+                start_frame_idx,
+                start_frame_idx + gt_frame_num - 1,
+                num=train_frame_num,
+            ):
+                images.append(read_img(loc))
+        images = np.stack(images).astype(np.float32)
+        if video_transform is not None:
+            images = video_transform(images)
+        return images
+
+    saved = (ref_env.read_activitynet, ref_env.read_video)
+    ref_env.read_activitynet = fake_read_activitynet
+    ref_env.read_video = fake_read_video
+    yield
+    ref_env.read_activitynet, ref_env.read_video = saved
+
+
+def _virtual_store(durations):
+    from vqwild_tpu.data.frames import FrameStore
+
+    class VirtualFrameStore(FrameStore):
+        def has_video(self, subset, video_id):
+            return video_id in durations
+
+        def num_frames(self, subset, video_id):
+            return max(1, int(durations[video_id] * 3))
+
+        def read_frames(self, subset, video_id, indices):
+            frames = np.empty(
+                (len(indices), INPUT_SIZE, INPUT_SIZE, 3), np.uint8
+            )
+            for k, idx in enumerate(np.asarray(indices).reshape(-1)):
+                frames[k] = _frame_value(video_id, int(idx))
+            return frames
+
+    return VirtualFrameStore()
+
+
+def _our_virtual_extractor(durations):
+    from vqwild_tpu.retrieval.features import FeatureExtractor
+
+    return FeatureExtractor(
+        _our_feat_fn,
+        _virtual_store(durations),
+        test_frames=TEST_FRAMES,
+        test_batch_size=BATCH,
+        input_size=INPUT_SIZE,
+        fps=3,
+    )
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _restricted_partition(slice_):
+    """Point the 100_20_80 config at the slice file with its label universe
+    restricted to the slice's covered classes (both asserts + possible_classes
+    derive from dataset_config, so this parametrizes BOTH stacks)."""
+    from misc_utils.utils_dataset import dataset_config
+
+    from vqwild_tpu.data.labels import SplitSpec, get_split
+
+    cfg = dataset_config["100_20_80"]
+    orig = (
+        cfg["moment_eval_json_path"],
+        cfg["arv_train_label"],
+        cfg["arv_test_label"],
+    )
+    cfg["moment_eval_json_path"] = slice_["path"]
+    cfg["arv_train_label"] = list(slice_["train_labels"])
+    cfg["arv_test_label"] = list(slice_["test_labels"])
+    full = get_split("100_20_80")
+    our_spec = SplitSpec(
+        name="100_20_80_slice",
+        train_labels=tuple(slice_["train_labels"]),
+        val_labels=full.val_labels,
+        test_labels=tuple(slice_["test_labels"]),
+        db_json=full.db_json,
+        moment_db_json=slice_["path"],
+    )
+    try:
+        yield our_spec
+    finally:
+        (
+            cfg["moment_eval_json_path"],
+            cfg["arv_train_label"],
+            cfg["arv_test_label"],
+        ) = orig
+
+
+class TestClipRealDBVirtualFrames:
+    def test_real_untrimmed_slice_matches_reference(
+        self, ref_env, world, real_untrimmed_slice, virtual_frames
+    ):
+        with _restricted_partition(real_untrimmed_slice) as spec:
+            args = _ref_args(meta_split="100_20_80", debug=False)
+            ref = ref_env.ARV_Retrieval_Clip(args, _ref_feat_fn).evaluation()
+
+            from vqwild_tpu.data.schema import load_moment_db
+            from vqwild_tpu.retrieval.clip import ARVRetrievalClip
+
+            ours = ARVRetrievalClip(
+                load_moment_db(real_untrimmed_slice["path"]),
+                spec,
+                _our_virtual_extractor(real_untrimmed_slice["durations"]),
+                clip_sec=6,
+            ).evaluation()
+        _assert_results_match(ref, ours)
+
+
+class TestMomentRealDBVirtualFrames:
+    def test_real_untrimmed_slice_matches_reference(
+        self, ref_env, world, real_untrimmed_slice, virtual_frames
+    ):
+        with _restricted_partition(real_untrimmed_slice) as spec:
+            args = _ref_args(meta_split="100_20_80", debug=False)
+            ref = ref_env.ARV_Retrieval_Moment(args, _ref_feat_fn).evaluation()
+
+            from vqwild_tpu.data.schema import load_moment_db
+            from vqwild_tpu.retrieval.moment import ARVRetrievalMoment
+
+            ours = ARVRetrievalMoment(
+                load_moment_db(real_untrimmed_slice["path"]),
+                spec,
+                _our_virtual_extractor(real_untrimmed_slice["durations"]),
+                workers=2,
+            ).evaluation()
+        _assert_results_match(ref["map05"], ours["map05"])
