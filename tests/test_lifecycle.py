@@ -43,7 +43,8 @@ def test_train_export_eval_serve_cycle(arv_root):
     pth = os.path.join(arv_root, "exported.pth.tar")
     _cli(["--method", "va", "--test_load", last, "--export_torch", pth, *tiny])
     ckpt = torch.load(pth, map_location="cpu", weights_only=False)
-    assert "state_dict" in ckpt and "visual_memory" in ckpt["state_dict"]
+    # keys carry the module. prefix of the reference's DataParallel wrapper
+    assert "state_dict" in ckpt and "module.visual_memory" in ckpt["state_dict"]
 
     # 3. evaluate FROM THE EXPORTED TORCH CHECKPOINT (torch-import path),
     #    trimmed regime on the yuv420 wire
