@@ -57,6 +57,15 @@ class TorchBatchNorm(nn.Module):
     momentum: float = 0.99  # flax convention: new = m·old + (1−m)·batch
     epsilon: float = 1e-3
     scale_init: Any = nn.initializers.ones
+    # fast_variance=False computes the two-pass E[(x−μ)²] instead of
+    # E[x²]−E[x]²: required where per-channel spread is tiny relative to
+    # the mean (the non-local W-BN, whose batch rows are near-identical
+    # attention outputs — the shortcut's cancellation visibly corrupts the
+    # BN-scale gradient there). The trunk keeps the one-pass form: its
+    # activations are well-spread (gradients match torch at 2e-5 either
+    # way, tests/test_train_parity.py) and the extra pass over every trunk
+    # activation costs ~10% of the train step.
+    fast_variance: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -79,20 +88,21 @@ class TorchBatchNorm(nn.Module):
                 n *= x.shape[a]
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=axes)
-            # two-pass variance: E[(x−μ)²], matching torch. The E[x²]−E[x]²
-            # shortcut cancels catastrophically when per-channel spread is
-            # small relative to the mean (e.g. the non-local W-BN, whose
-            # batch rows are near-identical attention outputs) and visibly
-            # corrupts the BN-scale gradient.
-            var = jnp.mean(jnp.square(xf - mean), axis=axes)
+            if self.fast_variance:
+                var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            else:
+                var = jnp.mean(jnp.square(xf - mean), axis=axes)
             if not self.is_initializing():
                 m = self.momentum
                 ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
                 ra_var.value = m * ra_var.value + (1.0 - m) * var * (
                     n / max(n - 1, 1)
                 )
-        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return (y * scale + bias).astype(self.dtype)
+        # normalize in the compute dtype (flax-style): under bf16 the f32
+        # path would double the VPU bytes of every BN in the train step
+        dt = self.dtype
+        inv = (jax.lax.rsqrt(var + self.epsilon) * scale).astype(dt)
+        return (x.astype(dt) - mean.astype(dt)) * inv + bias.astype(dt)
 
 
 def dense_torch(features: int, fan_in: int, name: str, dtype=jnp.float32) -> nn.Dense:
@@ -196,6 +206,7 @@ class NonLocal1D(nn.Module):
             epsilon=1e-5,
             momentum=0.9,
             scale_init=nn.initializers.zeros,
+            fast_variance=False,  # near-identical rows: see TorchBatchNorm
             dtype=self.dtype,
             name="w_bn",
         )(y)
@@ -248,6 +259,7 @@ class NonLocalND(nn.Module):
             epsilon=1e-5,
             momentum=0.9,
             scale_init=nn.initializers.zeros,
+            fast_variance=False,  # near-identical rows: see TorchBatchNorm
             dtype=self.dtype,
             name="w_bn",
         )(y)
