@@ -155,6 +155,20 @@ class TestFoldedTrunkParity:
         bad = im_bad.apply(iv_bad, jnp.asarray(x))
         assert float(jnp.max(jnp.abs(bad - ref))) > 1e-3
 
+    def test_pallas_stem_embed_fn_matches_xla(self):
+        """stem_impl="pallas" (fused stem+maxpool kernel) ≡ the XLA graph."""
+        model, variables = _setup()
+        rng = np.random.default_rng(7)
+        rgb = _smooth_rgb(rng)
+        y, uv = rgb_to_yuv420_host(rgb)
+        f_xla = make_embed_fn(variables, dtype=jnp.float32, stem_mode="yuv_s2d")
+        f_pal = make_embed_fn(
+            variables, dtype=jnp.float32, stem_mode="yuv_s2d", stem_impl="pallas"
+        )
+        a = f_xla(jnp.asarray(y), jnp.asarray(uv))
+        b = f_pal(jnp.asarray(y), jnp.asarray(uv))
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
     def test_rgb_embed_fn_matches_full_eval(self):
         model, variables = _setup()
         rng = np.random.default_rng(4)

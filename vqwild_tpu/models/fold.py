@@ -157,13 +157,18 @@ class ResNet18F2FInfer(nn.Module):
     stage_planes: Sequence[int] = (64, 128, 256, 512)
     stem_mode: str = "conv7"
     dtype: Any = jnp.float32
+    skip_stem: bool = False  # input is already the pooled stem output
 
     @nn.compact
     def __call__(self, x):
         b, t = x.shape[0], x.shape[1]
         x = x.reshape((b * t,) + x.shape[2:]).astype(self.dtype)
 
-        if self.stem_mode in ("s2d", "yuv_s2d"):
+        if self.skip_stem:
+            # [B,T,H',W',64] pre-stemmed feed (e.g. the fused Pallas
+            # stem+maxpool kernel, ops/pallas_kernels.stem_s2d_pool_pallas).
+            pass
+        elif self.stem_mode in ("s2d", "yuv_s2d"):
             if self.stem_mode == "s2d":
                 x = space_to_depth(x, 2)
             x = nn.Conv(
@@ -176,8 +181,9 @@ class ResNet18F2FInfer(nn.Module):
                 64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                 use_bias=True, dtype=self.dtype, name="conv1",
             )(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if not self.skip_stem:
+            x = nn.relu(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         inplanes = 64
         for li, (nblocks, planes) in enumerate(
@@ -287,7 +293,7 @@ def make_folded_trunk(variables, *, dtype=jnp.float32, stem_mode: str = "conv7",
 
 
 def make_embed_fn(variables, *, dtype=jnp.bfloat16, stem_mode: str = "yuv_s2d",
-                  bn_eps: float = 1e-3):
+                  bn_eps: float = 1e-3, stem_impl: str = "xla"):
     """The fused production embedding graph (NOT jitted; wrap at the call
     site). Returns f whose signature matches the wire:
 
@@ -298,7 +304,14 @@ def make_embed_fn(variables, *, dtype=jnp.bfloat16, stem_mode: str = "yuv_s2d",
     contract, main.py:220-233). All eval-time preprocessing folds into the
     trunk: BN constants into conv weights, and for "yuv_s2d" the chroma
     upsample + BT.601 + ImageNet normalize into the stem itself.
+
+    ``stem_impl="pallas"`` (yuv_s2d only) runs the stem conv + ReLU + 3x3/2
+    maxpool as one fused Pallas kernel so the pre-pool activation never
+    round-trips HBM (docs/TRUNK_PROFILE.md's last lever); off-TPU it runs in
+    interpret mode automatically.
     """
+    import jax
+
     model, iv = make_folded_trunk(variables, dtype=dtype, stem_mode=stem_mode,
                                   bn_eps=bn_eps)
 
@@ -306,7 +319,26 @@ def make_embed_fn(variables, *, dtype=jnp.bfloat16, stem_mode: str = "yuv_s2d",
         fe = fe / jnp.maximum(jnp.linalg.norm(fe, axis=-1, keepdims=True), 1e-12)
         return jnp.transpose(fe, (0, 2, 1))
 
-    if stem_mode == "yuv_s2d":
+    if stem_impl == "pallas":
+        from vqwild_tpu.ops.pallas_kernels import stem_s2d_pool_pallas
+
+        assert stem_mode == "yuv_s2d", "pallas stem requires stem_mode=yuv_s2d"
+        interp = jax.default_backend() != "tpu"
+        post = ResNet18F2FInfer(dtype=dtype, skip_stem=True)
+        conv1 = iv["params"]["conv1"]
+        k = jnp.asarray(conv1["kernel"], dtype)
+        bias = jnp.asarray(conv1["bias"], dtype)
+        pv = {"params": {n: p for n, p in iv["params"].items() if n != "conv1"}}
+
+        def f(y_u8, uv_u8):
+            x = yuv420_center_s2d(y_u8, uv_u8, dtype)
+            bsz, t = x.shape[0], x.shape[1]
+            pooled = stem_s2d_pool_pallas(
+                x.reshape((bsz * t,) + x.shape[2:]), k, bias, interpret=interp
+            )
+            return head(post.apply(pv, pooled.reshape((bsz, t) + pooled.shape[1:])))
+
+    elif stem_mode == "yuv_s2d":
 
         def f(y_u8, uv_u8):
             return head(model.apply(iv, yuv420_center_s2d(y_u8, uv_u8, dtype)))

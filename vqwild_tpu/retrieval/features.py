@@ -35,6 +35,7 @@ log = get_logger("retrieval.features")
 def make_feat_fn(
     model, variables, mesh=None, wire: str = "rgb", folded: bool = True,
     quant: Optional[str] = None, calib_path: Optional[str] = None,
+    stem_impl: str = "xla",
 ) -> Callable:
     """Returns f(clips [B,T,s,s,C] uint8-cropped or float) → np [B, C, T],
     frame embeddings L2-normalized across channels (main.py:232). uint8 input
@@ -63,6 +64,11 @@ def make_feat_fn(
     With a mesh, extraction batches shard over the ``data`` axis (rows are
     edge-padded to the shard multiple and cropped after) — the multi-chip
     feature-extraction path."""
+
+    if stem_impl not in ("xla", "pallas"):
+        raise ValueError(f"unknown stem_impl {stem_impl!r}")
+    if stem_impl == "pallas" and (quant is not None or not folded):
+        raise ValueError("stem_impl='pallas' requires folded=True, quant=None")
 
     if quant is not None:
         if quant != "int8":
@@ -119,12 +125,15 @@ def make_feat_fn(
     elif folded:
         from vqwild_tpu.models.fold import make_embed_fn
 
+        if stem_impl == "pallas" and wire != "yuv420":
+            raise ValueError("stem_impl='pallas' requires wire='yuv420'")
         _fwd = jax.jit(
             make_embed_fn(
                 variables,
                 dtype=model.dtype,
                 stem_mode="yuv_s2d" if wire == "yuv420" else "conv7",
                 bn_eps=model.bn_eps,
+                stem_impl=stem_impl,
             )
         )
         if wire not in ("rgb", "yuv420"):
