@@ -147,3 +147,40 @@ def build_tiny_arv(root: str):
         nclass=len(ALL_LABELS),
         labels=ALL_LABELS,
     )
+
+
+def fake_resnet18_2d_state_dict(seed=0):
+    """A shape-faithful torchvision-resnet18 (2D, ImageNet-layout) state dict
+    with random values — stands in for the real pretrained weights (not
+    downloadable here). torch tensors, torchvision key naming."""
+    import numpy as np
+    import torch
+
+    rng = np.random.default_rng(seed)
+
+    def t(*shape):
+        return torch.tensor(rng.normal(size=shape).astype(np.float32))
+
+    sd = {"conv1.weight": t(64, 3, 7, 7)}
+    sd |= {"bn1.weight": t(64), "bn1.bias": t(64),
+           "bn1.running_mean": t(64), "bn1.running_var": abs(t(64)) + 0.5}
+    inplanes = 64
+    for li, planes in enumerate([64, 128, 256, 512], start=1):
+        for bi in range(2):
+            pre = f"layer{li}.{bi}"
+            sd[f"{pre}.conv1.weight"] = t(planes, inplanes if bi == 0 else planes, 3, 3)
+            sd[f"{pre}.conv2.weight"] = t(planes, planes, 3, 3)
+            for bn in ("bn1", "bn2"):
+                sd |= {f"{pre}.{bn}.weight": t(planes), f"{pre}.{bn}.bias": t(planes),
+                       f"{pre}.{bn}.running_mean": t(planes),
+                       f"{pre}.{bn}.running_var": abs(t(planes)) + 0.5}
+            if li > 1 and bi == 0:
+                sd[f"{pre}.downsample.0.weight"] = t(planes, inplanes, 1, 1)
+                sd |= {f"{pre}.downsample.1.weight": t(planes),
+                       f"{pre}.downsample.1.bias": t(planes),
+                       f"{pre}.downsample.1.running_mean": t(planes),
+                       f"{pre}.downsample.1.running_var": abs(t(planes)) + 0.5}
+        inplanes = planes
+    sd["fc.weight"] = t(1000, 512)
+    sd["fc.bias"] = t(1000)
+    return sd

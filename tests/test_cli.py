@@ -148,3 +148,48 @@ class TestCacheTag:
             )
             == "fake"
         )
+
+
+class TestOptimizerAndPretrainedFlags:
+    def test_parse_optimizer_flags(self):
+        cfg, _ = cli.parse(["--optimizer", "sgd", "--momentum", "0.8",
+                            "--temporal_stride", "2"])
+        assert cfg.train.optimizer == "sgd"
+        assert cfg.train.momentum == 0.8
+        assert cfg.eval.temporal_stride == 2
+
+    def test_parse_defaults_match_reference(self):
+        cfg, _ = cli.parse([])
+        assert cfg.train.optimizer == "adam"  # main.py default
+        assert cfg.train.momentum == 0.9  # main.py:140
+        assert cfg.eval.temporal_stride == 1  # main.py:49
+        assert cfg.train.pretrained_weights == ""
+
+    def test_pretrained_weights_inflate_into_trunk(self, tiny_arv, tmp_path):
+        """--pretrained_weights loads a torchvision 2D resnet18 state dict
+        and inflates it into the trunk at init (main.py:206-211)."""
+        torch = pytest.importorskip("torch")
+        from tests.fixtures import fake_resnet18_2d_state_dict
+
+        sd = fake_resnet18_2d_state_dict(seed=3)
+        pth = str(tmp_path / "imagenet2d.pth")
+        torch.save(sd, pth)
+        base = ["--frame_store", "synthetic", "--data_root", tiny_arv["root"],
+                "--input_size", "32", "--train_frame", "2", "--test_frame", "2",
+                "--batch_size", "2", "--test_batch_size", "4", "--workers", "0"]
+        cfg, _ = cli.parse(["--method", "baseline",
+                            "--pretrained_weights", pth, *base])
+        _, _, _, _, params, state_vars, _, _ = cli.build_stack(cfg)
+        import numpy as np
+
+        got = np.asarray(params["trunk"]["conv1"]["kernel"])
+        want = np.transpose(sd["conv1.weight"].numpy(), (2, 3, 1, 0))
+        np.testing.assert_allclose(got, want, atol=0)
+        got_var = np.asarray(state_vars["batch_stats"]["trunk"]["bn1"]["var"])
+        np.testing.assert_allclose(got_var, sd["bn1.running_var"].numpy(), atol=0)
+        # fc is NOT inflated (inflation skips the 1000-way ImageNet fc)
+        cfg0 = cli.parse(["--method", "baseline", *base])[0]
+        _, _, _, _, params0, _, _, _ = cli.build_stack(cfg0)
+        np.testing.assert_allclose(
+            np.asarray(params["fc"]["kernel"]),
+            np.asarray(params0["fc"]["kernel"]), atol=0)

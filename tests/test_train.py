@@ -66,6 +66,33 @@ class TestOptimizerParity:
             jw = optax.apply_updates(jw, updates)
         np.testing.assert_allclose(np.asarray(jw), tw.detach().numpy(), atol=1e-5)
 
+    def test_matches_torch_sgd_momentum_with_l2(self):
+        """--optimizer sgd must reproduce torch.optim.SGD(momentum, wd):
+        L2 added to the grad before the momentum buffer (main.py:557-563)."""
+        import optax
+        import torch
+
+        w0 = np.array([1.0, -2.0, 3.0], np.float32)
+        tw = torch.nn.Parameter(torch.tensor(w0))
+        topt = torch.optim.SGD([tw], lr=0.1, momentum=0.9, weight_decay=1e-2)
+        tx = make_optimizer(0.1, 1e-2, steps_per_epoch=100, lr_decay_epoch=50,
+                            optimizer="sgd", momentum=0.9)
+        jw = jnp.asarray(w0)
+        opt_state = tx.init(jw)
+        for i in range(5):
+            g = np.array([0.5, -1.0, 0.25], np.float32) * (i + 1)
+            topt.zero_grad()
+            tw.grad = torch.tensor(g)
+            topt.step()
+            updates, opt_state = tx.update(jnp.asarray(g), opt_state, jw)
+            jw = optax.apply_updates(jw, updates)
+        np.testing.assert_allclose(np.asarray(jw), tw.detach().numpy(), atol=1e-5)
+
+    def test_unknown_optimizer_rejected(self):
+        with pytest.raises(ValueError, match="invalid optimizer"):
+            make_optimizer(0.1, 0.0, steps_per_epoch=10, lr_decay_epoch=5,
+                           optimizer="rmsprop")
+
     def test_lr_decay_at_epoch(self):
         import optax
 

@@ -77,14 +77,27 @@ def parse(argv=None) -> ExperimentConfig:
     p.add_argument("--batch_size", type=int, default=10)
     p.add_argument("--test_batch_size", type=int, default=30)
     p.add_argument("--train_frame", type=int, default=32)
-    p.add_argument("--test_frame", type=int, default=32)
+    p.add_argument("--test_frame", "--test_frame_num", dest="test_frame",
+                   type=int, default=32)
     p.add_argument("--input_size", type=int, default=112)
     p.add_argument("--novel_num", type=int, default=5)
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--epochs", type=int, default=16)
-    p.add_argument("--init_lr", type=float, default=1e-4)
+    # reference spellings accepted as aliases (--lr, --wd, --test_frame_num)
+    # so reference invocations run unchanged (main.py:134-147)
+    p.add_argument("--init_lr", "--lr", dest="init_lr", type=float, default=1e-4)
     p.add_argument("--lr_decay_rate", type=int, default=9)
-    p.add_argument("--weight_decay", type=float, default=1e-5)
+    p.add_argument("--weight_decay", "--wd", dest="weight_decay", type=float,
+                   default=1e-5)
+    p.add_argument("--optimizer", choices=["adam", "sgd"], default="adam",
+                   help="torch-semantics Adam or SGD+momentum (main.py:553-567)")
+    p.add_argument("--momentum", type=float, default=0.9,
+                   help="SGD momentum (ignored by adam)")
+    p.add_argument("--pretrained_weights", default="",
+                   help="torchvision resnet18 (2D ImageNet) .pth state dict "
+                        "to inflate into the trunk at init (the reference's "
+                        "--pretrained path with the weights file supplied "
+                        "explicitly; models/torch_import.inflate_resnet18_2d)")
     p.add_argument("--accum_grad", type=int, default=1)
     p.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
                    default="float32",
@@ -113,6 +126,9 @@ def parse(argv=None) -> ExperimentConfig:
     p.add_argument("--test_load", default="")
     p.add_argument("--query_num", type=int, default=1)
     p.add_argument("--clip_sec", type=int, default=6)
+    p.add_argument("--temporal_stride", type=int, default=1,
+                   help="frame-index stride of the clip/moment window grids "
+                        "(main.py:49, dataloader_baseline.py:664)")
     p.add_argument("--read_cache_feat", action="store_true")
     p.add_argument("--memory_leak_debug", action="store_true", help="fake-feature backend")
     p.add_argument("--debug", action="store_true")
@@ -176,6 +192,9 @@ def parse(argv=None) -> ExperimentConfig:
         init_lr=args.init_lr,
         lr_decay_rate=args.lr_decay_rate,
         weight_decay=args.weight_decay,
+        optimizer=args.optimizer,
+        momentum=args.momentum,
+        pretrained_weights=args.pretrained_weights,
         accum_grad=args.accum_grad,
         scan_steps=args.scan_steps,
         eval_per_epoch=args.eval_per_epoch,
@@ -187,6 +206,7 @@ def parse(argv=None) -> ExperimentConfig:
         eval_split=args.eval_split,
         query_num=args.query_num,
         clip_sec=args.clip_sec,
+        temporal_stride=args.temporal_stride,
         read_cache_feat=args.read_cache_feat or args.evaluate,
         fake_features=args.memory_leak_debug,
         collect_diagnostics=args.collect_diagnostics,
@@ -237,6 +257,25 @@ def build_stack(cfg: ExperimentConfig):
         (1, 2, cfg.data.input_size, cfg.data.input_size, 3),
         semantic_dim=cfg.model.semantic_dim,
     )
+    if cfg.train.pretrained_weights:
+        # ImageNet 2D → F2F-3D inflation into the trunk (main.py:206-211)
+        import torch
+
+        from vqwild_tpu.models.torch_import import (
+            inflate_resnet18_2d,
+            merge_variables,
+        )
+
+        sd = torch.load(cfg.train.pretrained_weights, map_location="cpu",
+                        weights_only=False)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        imported = inflate_resnet18_2d(sd)  # {params|batch_stats: {trunk: …}}
+        merged = merge_variables({"params": params, **state_vars}, imported)
+        params = merged["params"]
+        state_vars = dict(state_vars, batch_stats=merged["batch_stats"])
+        log.info("inflated ImageNet 2D weights from %s into the trunk",
+                 cfg.train.pretrained_weights)
     return spec, db, store, model, params, state_vars, semantic_mem, cls2int
 
 
@@ -472,6 +511,8 @@ def run_training(cfg, extra, run_dir: RunDir):
         steps_per_epoch,
         cfg.train.lr_decay_rate,
         accum_grad=cfg.train.accum_grad,
+        optimizer=cfg.train.optimizer,
+        momentum=cfg.train.momentum,
     )
     state = create_train_state(
         model, params, state_vars, tx, jax.random.PRNGKey(cfg.train.manual_seed)

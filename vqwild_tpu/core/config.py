@@ -68,6 +68,12 @@ class TrainConfig:
     init_lr: float = 1e-4
     lr_decay_rate: int = 9  # epoch at which lr *= 0.1 (main.py:176-191)
     weight_decay: float = 1e-5
+    optimizer: str = "adam"  # "adam" | "sgd" (main.py:553-567)
+    momentum: float = 0.9  # SGD momentum (main.py:140); unused by adam
+    # path to a torchvision resnet18 (2D, ImageNet) state dict to inflate
+    # into the trunk at init (main.py:206-211 --pretrained; here the weights
+    # file is supplied explicitly — no download in this environment)
+    pretrained_weights: str = ""
     accum_grad: int = 1  # optimizer.step() every accum_grad steps
     scan_steps: int = 1  # >1: lax.scan N steps per dispatch (train/step.py)
     triplet_margin: float = 1.0  # (main.py:40), used by the DML loss zoo

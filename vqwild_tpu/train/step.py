@@ -50,7 +50,14 @@ def make_optimizer(
     lr_decay_epoch: int,
     lr_decay_factor: float = 0.1,
     accum_grad: int = 1,
+    optimizer: str = "adam",
+    momentum: float = 0.9,
 ) -> optax.GradientTransformation:
+    """``optimizer`` mirrors the reference's adam|sgd switch (main.py:553-567):
+    both apply L2 decay to the gradient *before* the moment/momentum state
+    (torch Adam/SGD semantics). SGD is torch's dampening=0, nesterov=False
+    buffer — ``buf = momentum*buf + g``, step ``-lr*buf`` — which is exactly
+    ``optax.trace(decay=momentum)``."""
     # optax.MultiSteps advances the inner schedule once per accum_grad loader
     # steps, so the decay boundary must be expressed in optimizer updates
     updates_per_epoch = max(1, steps_per_epoch // max(1, accum_grad))
@@ -58,9 +65,15 @@ def make_optimizer(
         init_value=init_lr,
         boundaries_and_scales={updates_per_epoch * lr_decay_epoch: lr_decay_factor},
     )
+    if optimizer == "adam":
+        inner = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    elif optimizer == "sgd":
+        inner = optax.trace(decay=momentum, nesterov=False)
+    else:
+        raise ValueError(f"invalid optimizer {optimizer!r} (adam|sgd)")
     tx = optax.chain(
-        optax.add_decayed_weights(weight_decay),  # torch Adam L2 (pre-moment)
-        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.add_decayed_weights(weight_decay),  # torch L2 (pre-moment)
+        inner,
         optax.scale_by_schedule(schedule),
         optax.scale(-1.0),
     )

@@ -100,3 +100,31 @@ def build_class_embeddings(
 def write_embeddings_json(embeds: Dict[str, List[float]], path: str):
     with open(path, "w") as f:
         json.dump(embeds, f)
+
+
+def main(argv=None):
+    """CLI parity with the reference's runnable word_embed/*.py scripts
+    (wordembed_glove.py etc.): build {label: vector} JSON for the ActivityNet
+    label set from any GloVe/fastText-style text vector file."""
+    import argparse
+
+    from vqwild_tpu.data.labels import activitynet_labels
+
+    p = argparse.ArgumentParser(description="build class word embeddings")
+    p.add_argument("--vectors", required=True,
+                   help="GloVe/fastText text file: 'token v1 v2 …' per line")
+    p.add_argument("--out", default="wordembed.json")
+    p.add_argument("--dim", type=int, default=None,
+                   help="skip vector lines whose dim differs (fastText .vec)")
+    args = p.parse_args(argv)
+
+    labels = activitynet_labels()
+    vectors = load_vector_table(args.vectors, dim=args.dim)
+    embeds = build_class_embeddings(labels, vectors)
+    write_embeddings_json(embeds, args.out)
+    dim = len(next(iter(embeds.values())))
+    print(f"wrote {len(embeds)} labels x d{dim} -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
