@@ -293,9 +293,20 @@ def _bench_train_dtype(dtype_name, nclass, sem_dim, clips_n, k_scan) -> dict:
         f"loss {traj[0]:.4f}->{traj[-1]:.4f}"
     )
     if dtype_name == "bfloat16":
+        # whole-training-step MFU: nominal fwd 0.970 GFLOP/frame x3 for
+        # fwd+bwd (slight overcount: the stem's input grad is never built);
+        # decomposition in docs/TRAIN_PROFILE.md
+        peak = {
+            "TPU v5 lite": 197e12, "TPU v5e": 197e12, "TPU v4": 275e12,
+            "TPU v5p": 459e12, "TPU v6e": 918e12,
+        }.get(jax.devices()[0].device_kind, 197e12)
+        train_flops = 3 * 0.970e9 * FRAMES * clips_n
         return {
             "train_step_ms_bf16": round(step_ms, 1),
             "train_clips_per_sec_bf16": round(clips_n / step_ms * 1000.0, 1),
+            "train_mfu_pct": round(
+                100.0 * train_flops / (step_ms / 1e3) / peak, 1
+            ),
         }
     return {
         "train_compile_s": round(compile_s, 1),

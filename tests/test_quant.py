@@ -226,3 +226,47 @@ class TestCalibrationPersistence:
         _ = f_c(*batch_b)
         out_c = np.asarray(f_c(*batch_a))
         assert not np.array_equal(out_a, out_c)
+
+
+class TestConstParamsMode:
+    def test_const_matches_arg_mode(self, trunk_setup):
+        """const_params=True (params as jit constants) must produce the
+        same embeddings as the default argument-passing executable."""
+        variables, calib_planes, rng = trunk_setup
+        calib = quant.calibrate_trunk(variables, *calib_planes)
+        f_arg = quant.make_int8_embed_fn(variables, None, calib=calib)
+        f_const = quant.make_int8_embed_fn(variables, None, calib=calib,
+                                           const_params=True)
+        y, uv = _smooth_planes(rng, 2, 3, 32)
+        a = np.asarray(f_arg(y, uv))
+        b = np.asarray(f_const(y, uv))
+        np.testing.assert_allclose(b, a, atol=1e-6)
+
+    def test_feat_fn_int8_const(self, trunk_setup):
+        from vqwild_tpu.retrieval.features import make_feat_fn
+
+        variables, calib_planes, rng = trunk_setup
+        model = build_model(ModelConfig(method="baseline", nclass=10))
+        f = make_feat_fn(model, variables, wire="yuv420", quant="int8_const")
+        y, uv = _smooth_planes(rng, 2, 3, 32)
+        out = f(y, uv)
+        assert out.shape == (2, 512, 3) and np.isfinite(out).all()
+
+    def test_feat_fn_int8_const_rejects_mesh(self, trunk_setup):
+        from vqwild_tpu.parallel.mesh import make_mesh
+        from vqwild_tpu.retrieval.features import make_feat_fn
+
+        variables, _, _ = trunk_setup
+        model = build_model(ModelConfig(method="baseline", nclass=10))
+        mesh = make_mesh()
+        with pytest.raises(ValueError, match="single-device"):
+            make_feat_fn(model, variables, mesh=mesh, wire="yuv420",
+                         quant="int8_const")
+
+    def test_cli_flag_maps_to_config(self):
+        from vqwild_tpu.apps import cli
+
+        cfg, _ = cli.parse(["--trunk_int8_const", "--wire", "yuv420"])
+        assert cfg.eval.trunk_quant == "int8_const"
+        cfg2, _ = cli.parse(["--trunk_int8", "--wire", "yuv420"])
+        assert cfg2.eval.trunk_quant == "int8"

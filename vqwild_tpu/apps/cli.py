@@ -146,6 +146,11 @@ def parse(argv=None) -> ExperimentConfig:
                         "post-training-quantized trunk (requires --wire "
                         "yuv420; ~1.33x device throughput, calibrated on "
                         "the first batch — models/quant.py)")
+    p.add_argument("--trunk_int8_const", action="store_true",
+                   help="like --trunk_int8, but bake the quantized params "
+                        "into the executable as jit constants (~1.13x "
+                        "serving dispatch, recompile per calibration; "
+                        "single-device serving mode)")
     p.add_argument("--score_readback_dtype", choices=["float32", "bfloat16"],
                    default="float32",
                    help="moment eval: dtype of the device→host score "
@@ -211,7 +216,8 @@ def parse(argv=None) -> ExperimentConfig:
         fake_features=args.memory_leak_debug,
         collect_diagnostics=args.collect_diagnostics,
         wire=args.wire,
-        trunk_quant="int8" if args.trunk_int8 else None,
+        trunk_quant=("int8_const" if args.trunk_int8_const
+                     else "int8" if args.trunk_int8 else None),
         score_readback_dtype=args.score_readback_dtype,
     )
     cfg = ExperimentConfig(data=data, model=model, train=train, eval=ev, run_dir=args.run_dir)

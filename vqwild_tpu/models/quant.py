@@ -299,7 +299,7 @@ def _embed_int8(qp, y_u8, uv_u8):
 
 
 def make_int8_embed_fn(variables, calib_planes, *, calib=None, device=None,
-                       bn_eps: float = 1e-3):
+                       bn_eps: float = 1e-3, const_params: bool = False):
     """(trained/imported variables, (y_u8, uv_u8) calibration batch) → the
     int8 serving embed fn f(y, uv) -> L2-normalized [B, C, T] fp32 — the
     same contract as fold.make_embed_fn(stem_mode="yuv_s2d"). Already
@@ -312,11 +312,32 @@ def make_int8_embed_fn(variables, calib_planes, *, calib=None, device=None,
     jit *arguments*, their committed device decides where the serving graph
     runs (pass the accelerator when calibration happened under a CPU
     default_device context).
+
+    ``const_params=True`` bakes the quantized params into the executable as
+    jit constants instead: measured ~1.13x faster serving dispatch (XLA
+    pre-lays-out and constant-folds the weights), at the cost of a full
+    recompile per calibration/process — the right trade for long-lived
+    serving now that calibration persists on disk (save_calibration), and
+    wrong for calibrate-often evaluation. Single-device only.
     """
     if calib is None:
         calib = calibrate_trunk(variables, *calib_planes, bn_eps=bn_eps)
     qp = quantize_trunk(variables, calib, bn_eps=bn_eps)
     qp = jax.device_put(qp, device) if device is not None else jax.device_put(qp)
+
+    if const_params:
+        @jax.jit
+        def _embed_const(y_u8, uv_u8):
+            fe = int8_trunk_apply(qp, y_u8, uv_u8)  # qp → XLA constants
+            fe = fe / jnp.maximum(
+                jnp.linalg.norm(fe, axis=-1, keepdims=True), 1e-12
+            )
+            return jnp.transpose(fe, (0, 2, 1))
+
+        def f(y_u8, uv_u8):
+            return _embed_const(jnp.asarray(y_u8), jnp.asarray(uv_u8))
+
+        return f
 
     def f(y_u8, uv_u8):
         return _embed_int8(qp, jnp.asarray(y_u8), jnp.asarray(uv_u8))

@@ -71,10 +71,15 @@ def make_feat_fn(
         raise ValueError("stem_impl='pallas' requires folded=True, quant=None")
 
     if quant is not None:
-        if quant != "int8":
+        if quant not in ("int8", "int8_const"):
             raise ValueError(f"unknown quant mode {quant!r}")
         if wire != "yuv420":
-            raise ValueError("quant='int8' requires wire='yuv420'")
+            raise ValueError(f"quant={quant!r} requires wire='yuv420'")
+        # int8_const bakes the quantized params in as jit constants
+        # (~1.13x serving dispatch, recompile per calibration; quant.py)
+        const_params = quant == "int8_const"
+        if const_params and mesh is not None:
+            raise ValueError("quant='int8_const' is single-device only")
         import threading
 
         from vqwild_tpu.models import quant as quant_mod
@@ -101,6 +106,7 @@ def make_feat_fn(
                 calib=quant_mod.load_calibration(calib_path),
                 device=_mesh_device(),
                 bn_eps=model.bn_eps,
+                const_params=const_params,
             )
 
         def _fwd(*planes):
@@ -119,6 +125,7 @@ def make_feat_fn(
                             calib=calib,
                             device=_mesh_device(),
                             bn_eps=model.bn_eps,
+                            const_params=const_params,
                         )
             return cell["fn"](*planes)
 
