@@ -67,11 +67,17 @@ def parse(argv=None) -> ExperimentConfig:
     p.add_argument(
         "--meta_split",
         default="100_20_80",
-        choices=["100_20_80", "120_20_60", "80_20_100", "40_20_140"],
+        help="registry split (100_20_80 | 120_20_60 | 80_20_100 | "
+             "40_20_140) or a path to a split-spec JSON (custom datasets; "
+             "data/labels.py:load_split_file)",
     )
     p.add_argument("--data_root", default="data")
+    p.add_argument("--nclass", type=int, default=0,
+                   help="activity classes excl. distractor; 0 = derive from "
+                        "the meta split (200 for the registry splits)")
     p.add_argument("--frame_store", default="jpeg",
-                   choices=["jpeg", "packed", "packed_yuv", "synthetic"])
+                   choices=["jpeg", "packed", "packed_yuv", "synthetic",
+                            "synthetic_class"])
     p.add_argument("--frames_dir", default="")
     p.add_argument("--semantic_json", default="wordembed_glove_d200.json")
     p.add_argument("--batch_size", type=int, default=10)
@@ -169,8 +175,10 @@ def parse(argv=None) -> ExperimentConfig:
                         "(models/torch_export.py)")
     args = p.parse_args(argv)
 
+    nclass = args.nclass or len(get_split(args.meta_split).all_labels)
     data = DataConfig(
         meta_split=args.meta_split,
+        nclass=nclass,
         data_root=args.data_root,
         frames_dir=args.frames_dir
         or os.path.join(args.data_root, "activitynet1.3_train_val_frames_fps3"),
@@ -186,6 +194,7 @@ def parse(argv=None) -> ExperimentConfig:
     )
     model = ModelConfig(
         method=args.method,
+        nclass=nclass,
         dropout=args.dropout,
         moving_average=args.moving_average,
         semantic_dim=infer_semantic_dim(args.semantic_json),
@@ -621,6 +630,14 @@ def run_training(cfg, extra, run_dir: RunDir):
     with trace(run_dir.path, enabled=extra.get("profile", False)):
         result = loop.run(state)
     log.warning("training done: best ap=%.4f @ epoch %d", result.best_score, result.best_epoch)
+    run_dir.write_metrics(
+        "train_history",
+        dict(
+            history=result.history,
+            best_score=result.best_score,
+            best_epoch=result.best_epoch,
+        ),
+    )
 
     # final: reload best, evaluate on testing with all regimes (main.py:606-617)
     if ckpt.exists("best"):

@@ -316,6 +316,167 @@ class SyntheticFrameStore(FrameStore):
         return (base + grad + np.arange(FRAME_C, dtype=np.uint8)).astype(np.uint8)
 
 
+# --------------------------------------------------------------------------
+# Class-structured synthetic world ("synthetic_class" store)
+#
+# SyntheticFrameStore above keys pixels on video identity only — good for
+# exercising pipelines, useless for *learning* (no class signal). The
+# learnable world gives every class a distinct procedural texture loop and
+# every video a private spatio-temporal warp of it, so the full reference
+# recipe (triplet CE training → retrieval eval) can be driven to measurable
+# convergence without ActivityNet on disk. All content derives from the
+# video id alone; `vqwild_tpu.datagen.synthworld` emits DB JSONs whose
+# annotations agree with the same deterministic functions.
+#
+# Video-id grammar (shared with datagen/synthworld.py):
+#   sc{cls:03d}_{i:05d}   trimmed class video: whole tape shows class `cls`
+#   sn_{i:05d}            distractor/noise video: video-private texture only
+#   sg{ncls:03d}_{i:05d}  untrimmed gallery video: class segments from
+#                         synth_schedule() against a noise background
+# --------------------------------------------------------------------------
+
+
+def _crc(s: str) -> int:
+    import zlib
+
+    return zlib.crc32(s.encode())
+
+
+def synth_video_frames(video_id: str) -> int:
+    """Deterministic frame count (fps=3): 48-119 trimmed, 135-404 gallery."""
+    h = _crc(video_id)
+    if video_id.startswith("sg"):
+        return 135 + h % 270
+    return 48 + h % 72
+
+
+def synth_schedule(video_id: str, n_classes: int):
+    """Deterministic activity segments of a gallery video.
+
+    Returns [(start_frame, end_frame, class_idx)] — 0-based, end exclusive,
+    each ≥15 frames (5 s at fps 3), separated by background gaps. datagen
+    emits exactly these as the video's annotation list, so the frames a
+    store renders and the labels an evaluator scores always agree.
+    """
+    n = synth_video_frames(video_id)
+    rng = np.random.default_rng(_crc(video_id))
+    segs = []
+    f = int(rng.integers(0, 20))
+    while f < n - 18:
+        length = int(rng.integers(18, 75))
+        end = min(f + length, n)
+        if end - f >= 15:
+            segs.append((f, end, int(rng.integers(0, n_classes))))
+        f = end + int(rng.integers(6, 30))
+    return segs
+
+
+class ClassSyntheticFrameStore(FrameStore):
+    """Learnable deterministic frames: class texture loops + video warps.
+
+    Rendering model (all int16 until the final uint8 clip):
+      frame = 128 + class_loop[(t0 + t·step) % L] rolled by t·(dy,dx)
+                  + video_noise rolled by t·(ny,nx)
+    The class loop is a band-limited sinusoid mixture (distinct frequencies
+    per class — textures a conv net separates well); the video warp (phase
+    offset, drift velocity, private noise field) individualizes videos
+    within a class while preserving class appearance. Loops and noise
+    fields are cached per store instance, so steady-state reads are
+    gather+add+clip (memcpy speed), not sin() evaluations.
+    """
+
+    LOOP = 16  # temporal loop length of the class texture
+
+    def __init__(self, h: int = FRAME_H, w: int = FRAME_W):
+        self.h, self.w = h, w
+        self._loops: Dict[int, np.ndarray] = {}
+        self._noise: Dict[str, tuple] = {}
+
+    # -- deterministic ingredients ------------------------------------
+    def _class_loop(self, cls: int) -> np.ndarray:
+        loop = self._loops.get(cls)
+        if loop is None:
+            rng = np.random.default_rng(1_000_003 + cls)
+            yy = np.arange(self.h, dtype=np.float32)[None, :, None, None]
+            xx = np.arange(self.w, dtype=np.float32)[None, None, :, None]
+            tt = np.arange(self.LOOP, dtype=np.float32)[:, None, None, None]
+            acc = np.zeros((self.LOOP, self.h, self.w, FRAME_C), np.float32)
+            for _ in range(4):
+                fy, fx = rng.uniform(0.02, 0.30, size=2)
+                amp = rng.uniform(18.0, 40.0)
+                vel = rng.integers(1, self.LOOP)  # cycles per loop
+                phase = rng.uniform(0, 2 * np.pi, size=FRAME_C).astype(np.float32)
+                acc += amp * np.sin(
+                    2 * np.pi * (fy * yy + fx * xx + vel * tt / self.LOOP)
+                    + phase[None, None, None, :]
+                )
+            loop = np.clip(acc, -127, 127).astype(np.int16)
+            self._loops[cls] = loop
+        return loop
+
+    def _video_warp(self, video_id: str):
+        cached = self._noise.get(video_id)
+        if cached is None:
+            rng = np.random.default_rng(_crc(video_id) ^ 0x5EED)
+            noise = rng.integers(
+                -14, 15, size=(self.h, self.w, FRAME_C), dtype=np.int16
+            )
+            params = dict(
+                t0=int(rng.integers(0, self.LOOP)),
+                tstep=int(rng.integers(1, 4)),
+                dy=int(rng.integers(0, 7)),
+                dx=int(rng.integers(0, 7)),
+                y0=int(rng.integers(0, self.h)),
+                x0=int(rng.integers(0, self.w)),
+                bright=int(rng.integers(-10, 11)),
+            )
+            cached = (noise, params)
+            if len(self._noise) > 512:  # bound the per-video cache
+                self._noise.clear()
+            self._noise[video_id] = cached
+        return cached
+
+    def _frame_class(self, video_id: str, t0_based: np.ndarray) -> np.ndarray:
+        """Per-frame class index; -1 = background/noise content."""
+        if video_id.startswith("sc"):
+            cls = int(video_id[2:5])
+            return np.full(t0_based.shape, cls, np.int64)
+        if video_id.startswith("sg"):
+            ncls = int(video_id[2:5])
+            out = np.full(t0_based.shape, -1, np.int64)
+            for f0, f1, cls in synth_schedule(video_id, ncls):
+                out[(t0_based >= f0) & (t0_based < f1)] = cls
+            return out
+        return np.full(t0_based.shape, -1, np.int64)
+
+    # -- FrameStore interface -----------------------------------------
+    def has_video(self, subset, video_id):
+        return True
+
+    def num_frames(self, subset, video_id):
+        return synth_video_frames(video_id)
+
+    def read_frames(self, subset, video_id, indices):
+        idx = np.asarray(indices).reshape(-1).astype(np.int64) - 1  # 1-based in
+        noise, p = self._video_warp(video_id)
+        classes = self._frame_class(video_id, idx)
+        out = np.empty((idx.size, self.h, self.w, FRAME_C), np.int16)
+        # np.roll is slice copies — ~7x faster than fancy-index gathers here
+        for k, (t, cls) in enumerate(zip(idx, classes)):
+            t = int(t)
+            out[k] = np.roll(noise, (-3 * t, -5 * t), axis=(0, 1))
+            if cls >= 0:
+                tex = self._class_loop(int(cls))[
+                    (p["t0"] + p["tstep"] * t) % self.LOOP
+                ]
+                out[k] += np.roll(
+                    tex,
+                    (-(p["y0"] + p["dy"] * t), -(p["x0"] + p["dx"] * t)),
+                    axis=(0, 1),
+                )
+        return np.clip(out + 128 + p["bright"], 0, 255).astype(np.uint8)
+
+
 def make_frame_store(kind: str, frames_dir: str) -> FrameStore:
     if kind == "jpeg":
         return JpegDirFrameStore(frames_dir)
@@ -325,4 +486,6 @@ def make_frame_store(kind: str, frames_dir: str) -> FrameStore:
         return PackedYUV420FrameStore(frames_dir)
     if kind == "synthetic":
         return SyntheticFrameStore()
+    if kind == "synthetic_class":
+        return ClassSyntheticFrameStore()
     raise ValueError(f"unknown frame store kind: {kind!r}")

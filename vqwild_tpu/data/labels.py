@@ -97,8 +97,42 @@ def split_registry() -> Dict[str, SplitSpec]:
     return registry
 
 
+def load_split_file(path: str) -> SplitSpec:
+    """A SplitSpec from a user-provided JSON file — custom datasets.
+
+    Schema: {"name", "train_labels", "val_labels", "test_labels",
+    "db_json", "moment_db_json"}. Relative db paths resolve against the
+    spec file's own directory, so a world directory is self-contained and
+    relocatable (``--data_root`` is not needed to find its DBs).
+    """
+    with open(path) as f:
+        d = json.load(f)
+    base = os.path.dirname(os.path.abspath(path))
+
+    def _resolve(p: str) -> str:
+        if not p or os.path.isabs(p):
+            return p
+        cand = os.path.join(base, p)
+        return cand if os.path.exists(cand) else p
+
+    return SplitSpec(
+        name=d["name"],
+        train_labels=tuple(d["train_labels"]),
+        val_labels=tuple(d["val_labels"]),
+        test_labels=tuple(d["test_labels"]),
+        db_json=_resolve(d.get("db_json", "")),
+        moment_db_json=_resolve(d.get("moment_db_json", "")),
+    )
+
+
 def get_split(name: str) -> SplitSpec:
+    """Registry lookup, or a path to a split-spec JSON (custom datasets)."""
     reg = split_registry()
-    if name not in reg:
-        raise KeyError(f"unknown meta split {name!r}; known: {sorted(reg)}")
-    return reg[name]
+    if name in reg:
+        return reg[name]
+    if name.endswith(".json") and os.path.exists(name):
+        return load_split_file(name)
+    raise KeyError(
+        f"unknown meta split {name!r}; known: {sorted(reg)} "
+        "(or pass a path to a split-spec JSON)"
+    )

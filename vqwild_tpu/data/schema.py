@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
+import re
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -144,10 +146,14 @@ def load_moment_db(path: str) -> MomentDB:
 
 def infer_semantic_dim(semantic_json: str) -> int:
     """Dim inferred from the filename substring, as upstream does
-    (dataloader_baseline.py:142-155)."""
+    (dataloader_baseline.py:142-155: checks d300/d200/d1024). We accept any
+    ``d{N}`` suffix token so custom embedding files work too."""
     for d in (300, 200, 1024):
         if f"d{d}" in semantic_json:
             return d
+    m = re.search(r"d(\d+)(?:\D|$)", os.path.basename(semantic_json))
+    if m:
+        return int(m.group(1))
     raise ValueError(f"cannot infer embedding dim from {semantic_json!r}")
 
 

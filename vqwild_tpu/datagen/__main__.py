@@ -61,6 +61,20 @@ def main(argv=None):
     s5.add_argument("--json_out", default="",
                     help="also dump the structured report as JSON")
 
+    s6 = sub.add_parser(
+        "synthworld",
+        help="learnable synthetic ARV world (class-textured frames; "
+             "datagen/synthworld.py) for end-to-end recipe validation "
+             "without ActivityNet",
+    )
+    s6.add_argument("--out_dir", required=True)
+    s6.add_argument("--n_base", type=int, default=16)
+    s6.add_argument("--n_val", type=int, default=4)
+    s6.add_argument("--n_test", type=int, default=4)
+    s6.add_argument("--train_per_base", type=int, default=12)
+    s6.add_argument("--embed_dim", type=int, default=64)
+    s6.add_argument("--seed", type=int, default=0)
+
     args = p.parse_args(argv)
 
     if args.cmd == "segments":
@@ -141,6 +155,26 @@ def main(argv=None):
             with open(args.json_out, "w") as f:
                 json.dump(report, f, indent=1)
             print(f"wrote {args.json_out}")
+    elif args.cmd == "synthworld":
+        from vqwild_tpu.datagen.synthworld import build_synth_world
+
+        info = build_synth_world(
+            args.out_dir,
+            n_base=args.n_base,
+            n_val=args.n_val,
+            n_test=args.n_test,
+            train_per_base=args.train_per_base,
+            embed_dim=args.embed_dim,
+            seed=args.seed,
+        )
+        print(
+            f"synth world: {info['nclass']} classes, gallery="
+            f"{info['n_gallery']} → {info['spec_path']}\n"
+            "train: python main.py --meta_split "
+            f"{info['spec_path']} --frame_store synthetic_class "
+            f"--semantic_json wordembed_synth_d{info['embed_dim']}.json "
+            f"--data_root {info['root']}"
+        )
 
 
 if __name__ == "__main__":
