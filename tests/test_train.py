@@ -340,6 +340,12 @@ class TestTrainLoop:
         result = loop.run(state)
         assert evals == [0, 1]
         assert result.best_epoch == 1 and abs(result.best_score - 0.2) < 1e-9
+        # per-epoch history: losses every epoch, ap on eval epochs
+        assert [e["epoch"] for e in result.history] == [0, 1]
+        for e in result.history:
+            assert e["steps"] == 3
+            assert np.isfinite(e["losses"]["loss"])
+        assert abs(result.history[1]["ap"] - 0.2) < 1e-9
         assert ckpt.exists("best") and ckpt.exists("last")
         restored = ckpt.restore("best")
         assert int(restored["epoch"]) == 1

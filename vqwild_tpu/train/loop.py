@@ -256,6 +256,12 @@ class TrainLoop:
                 nsteps,
                 " ".join(f"{k}={m.avg:.4f}" for k, m in sorted(loss_meters.items())),
             )
+            entry = dict(
+                epoch=epoch,
+                steps=nsteps,
+                losses={k: m.avg for k, m in sorted(loss_meters.items())},
+            )
+            history.append(entry)
 
             if self.ckpt is not None:
                 # full training state -> mid-training resume (reference has
@@ -279,7 +285,7 @@ class TrainLoop:
             if is_eval_epoch:
                 score = self.eval_fn(state, epoch)
                 ap = float(score.get("ap", 0.0))
-                history.append(dict(epoch=epoch, ap=ap))
+                entry["ap"] = ap
                 log.warning("epoch %d validation ap=%.4f (best %.4f)", epoch, ap, best_score)
                 if ap > best_score:
                     best_score, best_epoch = ap, epoch
