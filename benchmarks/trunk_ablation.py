@@ -73,27 +73,17 @@ def main():
 
             return jax.jit(f)
         if variant == "pallas_stem":
-            from vqwild_tpu.models.fold import ResNet18F2FInfer
-            from vqwild_tpu.ops.pallas_kernels import stem_s2d_pool_pallas
+            # exactly the production wiring (fold.make_embed_fn owns the
+            # skip-stem/param-split plumbing); fold on CPU for fast setup
+            from vqwild_tpu.models.fold import make_embed_fn
 
             with jax.default_device(cpu):
-                im, iv = make_folded_trunk(
-                    variables, dtype=jnp.bfloat16, stem_mode="yuv_s2d"
+                f = make_embed_fn(
+                    variables,
+                    dtype=jnp.bfloat16,
+                    stem_mode="yuv_s2d",
+                    stem_impl="pallas",
                 )
-            iv = jax.device_put(iv, jax.devices()[0])
-            post = ResNet18F2FInfer(dtype=jnp.bfloat16, skip_stem=True)
-            k = iv["params"]["conv1"]["kernel"].astype(jnp.bfloat16)
-            b = iv["params"]["conv1"]["bias"].astype(jnp.bfloat16)
-            pv = {"params": {n: p for n, p in iv["params"].items() if n != "conv1"}}
-
-            def f(y, uv):
-                x = yuv420_center_s2d(y, uv, jnp.bfloat16)
-                bs, t = x.shape[0], x.shape[1]
-                pooled = stem_s2d_pool_pallas(
-                    x.reshape((bs * t,) + x.shape[2:]), k, b
-                )
-                return head(post.apply(pv, pooled.reshape((bs, t) + pooled.shape[1:])))
-
             return jax.jit(f)
         if variant == "full":
             v = jax.device_put(variables, jax.devices()[0])

@@ -120,6 +120,11 @@ class TestSchema:
         assert schema.infer_semantic_dim("wordembed_glove_d200.json") == 200
         assert schema.infer_semantic_dim("wordembed_elmo_d1024.json") == 1024
         assert schema.infer_semantic_dim("wordembed_fasttext_d300.json") == 300
+        # custom dims: d2000 must not false-match upstream's d200 substring,
+        # and the d2 inside word2vec must not match as a token
+        assert schema.infer_semantic_dim("wordembed_synth_d2000.json") == 2000
+        assert schema.infer_semantic_dim("wordembed_word2vec_d300.json") == 300
+        assert schema.infer_semantic_dim("/data/d300/wordembed_x.json") == 300
 
 
 class TestClipsAndTriplets:

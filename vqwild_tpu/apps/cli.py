@@ -331,19 +331,29 @@ def _ckpt_cache_tag(test_load: str, fake: bool, mode: str = "") -> str:
     --wire) produces different features, so the modes must not share a
     cache either.
     """
-    import hashlib
-
     if fake:
         return "fake"
     suffix = "-" + mode if mode else ""
     if not test_load:
         return "init" + suffix
+    return _ckpt_fingerprint(test_load) + suffix
+
+
+def _ckpt_fingerprint(test_load: str) -> str:
+    """10-hex identity of a checkpoint's weights: path + per-file
+    mtime/size. Derived artifacts living beside/inside the checkpoint
+    (int8_calib*.json) are excluded so writing them does not change the
+    fingerprint of the weights they were derived from."""
+    import hashlib
+
     p = os.path.abspath(test_load)
     h = hashlib.sha256(p.encode())
     try:
         if os.path.isdir(p):
             for root, _, files in sorted(os.walk(p)):
                 for fn in sorted(files):
+                    if fn.startswith("int8_calib"):
+                        continue
                     st = os.stat(os.path.join(root, fn))
                     h.update(f"{fn}:{st.st_mtime_ns}:{st.st_size}".encode())
         else:
@@ -351,19 +361,23 @@ def _ckpt_cache_tag(test_load: str, fake: bool, mode: str = "") -> str:
             h.update(f"{st.st_mtime_ns}:{st.st_size}".encode())
     except OSError:
         pass
-    return h.hexdigest()[:10] + suffix
+    return h.hexdigest()[:10]
 
 
 def _int8_calib_path(test_load: str) -> "Optional[str]":
     """Where a checkpoint's int8 calibration scales persist (models/quant.py
     save_calibration): beside the checkpoint, so every process serving or
-    evaluating it quantizes with identical numerics."""
+    evaluating it quantizes with identical numerics. The filename embeds the
+    checkpoint's weight fingerprint — overwriting a checkpoint in place
+    (retrain to the same path) must not silently reuse scales calibrated on
+    the old weights' activation ranges."""
     if not test_load:
         return None
     p = os.path.abspath(test_load)
+    fp = _ckpt_fingerprint(test_load)
     if os.path.isdir(p):
-        return os.path.join(p, "int8_calib.json")
-    return p + ".int8_calib.json"
+        return os.path.join(p, f"int8_calib-{fp}.json")
+    return f"{p}.int8_calib-{fp}.json"
 
 
 def _extraction_mode_tag(cfg) -> str:

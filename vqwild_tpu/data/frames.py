@@ -375,12 +375,14 @@ class ClassSyntheticFrameStore(FrameStore):
     """Learnable deterministic frames: class texture loops + video warps.
 
     Rendering model (all int16 until the final uint8 clip):
-      frame = 128 + class_loop[(t0 + t·step) % L] rolled by t·(dy,dx)
-                  + video_noise rolled by t·(ny,nx)
+      frame = 128 + class_loop[(t0 + t·step) % L] rolled by (y0,x0)+t·(dy,dx)
+                  + video_noise rolled by t·(3,5)
     The class loop is a band-limited sinusoid mixture (distinct frequencies
     per class — textures a conv net separates well); the video warp (phase
-    offset, drift velocity, private noise field) individualizes videos
-    within a class while preserving class appearance. Loops and noise
+    offset t0/tstep, texture drift dy/dx, brightness, private noise field)
+    individualizes videos within a class while preserving class appearance.
+    The noise field is per-video but its drift velocity is a shared
+    constant (3,5) — the field itself already decorrelates videos. Loops and noise
     fields are cached per store instance, so steady-state reads are
     gather+add+clip (memcpy speed), not sin() evaluations.
     """

@@ -80,10 +80,7 @@ def _closest_moment_ious(
     """find_closest_moment (2_generate_moment_test.py:79-138): best tIoU of
     each annotation against the moment grid, in CLIP-INDEX space (upstream
     divides by clip_sec and checks the four integer-snapped candidates)."""
-
-    def iou(min1, max1, min2, max2):
-        ov = max(0.0, min(max1, max2) - max(min1, min2))
-        return ov / (max(max2, max1) - min(min1, min2))
+    from vqwild_tpu.retrieval.moment import temporal_iou as iou
 
     excluded = set(excluded_labels)
     ious: List[float] = []

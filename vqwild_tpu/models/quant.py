@@ -65,7 +65,10 @@ def save_calibration(path: str, calib: Dict[str, float]) -> None:
     import json
     import os
 
-    tmp = path + ".tmp"
+    # unique tmp per writer: concurrent first-time calibrators (the very
+    # multi-process scenario persistence exists for) must not interleave
+    # writes into one shared tmp file before the atomic publish
+    tmp = f"{path}.{os.getpid()}.tmp"
     with open(tmp, "w") as f:
         json.dump({"format": _CALIB_FORMAT, "maxima": calib}, f, indent=1)
     os.replace(tmp, path)

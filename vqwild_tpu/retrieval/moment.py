@@ -28,6 +28,7 @@ import time
 from contextlib import contextmanager
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -338,9 +339,7 @@ class ARVRetrievalMoment:
 
         with _phase(self.timings, "gallery_to_device"):
             scorer = GalleryScorer(feats, mesh=self.mesh)
-            import jax as _jax
-
-            _jax.block_until_ready(scorer.g_dev)
+            jax.block_until_ready(scorer.g_dev)
         pool = concurrent.futures.ThreadPoolExecutor(max_workers=self.workers)
         try:
             for cstart in range(0, len(expanded), self.rank_chunk):
@@ -351,14 +350,12 @@ class ARVRetrievalMoment:
                         for qs in batch
                     ]
                 )
-                import jax as _jax
-
                 bf16 = self.score_readback_dtype == "bfloat16"
                 with _phase(self.timings, "score_device"):
                     dev_scores = scorer.scores(
                         qf, out_dtype=jnp.bfloat16 if bf16 else None
                     )
-                    _jax.block_until_ready(dev_scores)
+                    jax.block_until_ready(dev_scores)
                 with _phase(self.timings, "score_readback"):
                     scores = np.asarray(dev_scores)[:, : scorer.n]
                     if bf16:  # postprocess consumes fp32 (host widen is cheap)
