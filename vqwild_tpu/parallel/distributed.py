@@ -54,3 +54,21 @@ def initialize(
         jax.device_count(),
     )
     return True
+
+
+def barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Block until every process reaches this barrier.
+
+    Pure coordination-service RPC — no device collectives — so it is safe
+    (and useful) to call while peers are still *compiling*: cross-process
+    collective contexts have a short fixed handshake timeout (gloo's
+    key-value exchange is 30 s on CPU), so a program whose compile times
+    skew across processes must be compiled ahead of time and then entered
+    together. AOT-compile, barrier, execute. No-op in single-process
+    runtimes."""
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    if client is None:
+        return
+    client.wait_at_barrier(name, timeout_ms)
