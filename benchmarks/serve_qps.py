@@ -4,11 +4,14 @@
 Drives serve.QueryService (micro-batcher + device ranking) with concurrent
 client threads issuing feature queries against a production-size gallery,
 and reports sustained QPS and p50/p99 latency for several concurrency
-levels. Run on the TPU host: `python benchmarks/serve_qps.py [gallery_n]`.
+levels. Run on the TPU host:
+`python benchmarks/serve_qps.py [gallery_n] [--json_out PATH]`.
 """
 
 from __future__ import annotations
 
+import argparse
+import json
 import os
 import sys
 import threading
@@ -27,13 +30,18 @@ def log(m):
 def main():
     import jax
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("gallery_n", nargs="?", type=int, default=100_000)
+    ap.add_argument("--json_out", default="", help="write the measured numbers")
+    args = ap.parse_args()
+
     jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from vqwild_tpu.serve.index import GalleryIndex
     from vqwild_tpu.serve.service import QueryService
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n = args.gallery_n
     c = 512
     rng = np.random.default_rng(0)
     feats = rng.normal(size=(n, c)).astype(np.float32)
@@ -51,6 +59,14 @@ def main():
         index.topk(qfeats[:b], k=30)
     log("buckets warm")
 
+    report = {
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "gallery_n": n,
+        "feat_dim": c,
+        "k": 30,
+        "levels": [],
+    }
     for conc in (1, 8, 32):
         svc = QueryService(index, max_batch=32, max_wait_ms=2.0)
         lat: list = []
@@ -82,10 +98,18 @@ def main():
             log(f"conc={conc:3d}: no queries completed")
             continue
         lat.sort()
+        level = {
+            "concurrency": conc,
+            "qps": round(len(lat) / dt, 1),
+            "p50_ms": round(lat[len(lat) // 2] * 1000, 2),
+            "p99_ms": round(lat[int(len(lat) * 0.99)] * 1000, 2),
+            "queries": len(lat),
+        }
+        report["levels"].append(level)
         log(
-            f"conc={conc:3d}: {len(lat)/dt:8.1f} qps  "
-            f"p50={lat[len(lat)//2]*1000:6.1f} ms  "
-            f"p99={lat[int(len(lat)*0.99)]*1000:6.1f} ms"
+            f"conc={conc:3d}: {level['qps']:8.1f} qps  "
+            f"p50={level['p50_ms']:6.1f} ms  "
+            f"p99={level['p99_ms']:6.1f} ms"
         )
 
     # moment serving: score all windows -> candidate-pool top-k -> per-video
@@ -106,10 +130,21 @@ def main():
         midx.query(qfeats[i : i + 1], k=10)
         mlat.append(time.monotonic() - t0)
     mlat.sort()
+    report["moment"] = {
+        "windows": n,
+        "videos": n_videos,
+        "k": 10,
+        "p50_ms": round(mlat[len(mlat) // 2] * 1000, 2),
+    }
     log(
         f"moment query ({n} windows / {n_videos} videos, k=10 + NMS): "
-        f"p50={mlat[len(mlat)//2]*1000:6.1f} ms"
+        f"p50={report['moment']['p50_ms']:6.1f} ms"
     )
+
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(report, f, indent=1)
+        log(f"wrote {args.json_out}")
 
 
 if __name__ == "__main__":
