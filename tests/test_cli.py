@@ -132,6 +132,26 @@ class TestCacheTag:
         }
         assert len(tags) == 3
 
+    def test_eval_geometry_keys_the_cache(self, tmp_path):
+        """Cached features/galleries also depend on the eval geometry:
+        frames per chunk, crop size, clip window seconds, temporal stride.
+        A pooled gallery built at --temporal_stride 1 must not satisfy the
+        forced cache read of a --temporal_stride 2 run of the same ckpt."""
+        ckpt = str(tmp_path / "best.pth.tar")
+        open(ckpt, "wb").write(b"x")
+        base = ["--evaluate"]
+        tags = {
+            self._tag(base + extra, tmp_path, ckpt)
+            for extra in [
+                [],
+                ["--temporal_stride", "2"],
+                ["--clip_sec", "5"],
+                ["--test_frame", "16"],
+                ["--input_size", "64"],
+            ]
+        }
+        assert len(tags) == 5
+
     def test_different_checkpoints_never_share(self, tmp_path):
         a, b = str(tmp_path / "a.pth.tar"), str(tmp_path / "b.pth.tar")
         open(a, "wb").write(b"x")

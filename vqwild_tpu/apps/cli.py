@@ -340,51 +340,33 @@ def _ckpt_cache_tag(test_load: str, fake: bool, mode: str = "") -> str:
 
 
 def _ckpt_fingerprint(test_load: str) -> str:
-    """10-hex identity of a checkpoint's weights: path + per-file
-    mtime/size. Derived artifacts living beside/inside the checkpoint
-    (int8_calib*.json) are excluded so writing them does not change the
-    fingerprint of the weights they were derived from."""
-    import hashlib
+    # canonical definition lives beside the calibration persistence it keys
+    from vqwild_tpu.models.quant import checkpoint_fingerprint
 
-    p = os.path.abspath(test_load)
-    h = hashlib.sha256(p.encode())
-    try:
-        if os.path.isdir(p):
-            for root, _, files in sorted(os.walk(p)):
-                for fn in sorted(files):
-                    if fn.startswith("int8_calib"):
-                        continue
-                    st = os.stat(os.path.join(root, fn))
-                    h.update(f"{fn}:{st.st_mtime_ns}:{st.st_size}".encode())
-        else:
-            st = os.stat(p)
-            h.update(f"{st.st_mtime_ns}:{st.st_size}".encode())
-    except OSError:
-        pass
-    return h.hexdigest()[:10]
+    return checkpoint_fingerprint(test_load)
 
 
 def _int8_calib_path(test_load: str) -> "Optional[str]":
-    """Where a checkpoint's int8 calibration scales persist (models/quant.py
-    save_calibration): beside the checkpoint, so every process serving or
-    evaluating it quantizes with identical numerics. The filename embeds the
-    checkpoint's weight fingerprint — overwriting a checkpoint in place
-    (retrain to the same path) must not silently reuse scales calibrated on
-    the old weights' activation ranges."""
-    if not test_load:
-        return None
-    p = os.path.abspath(test_load)
-    fp = _ckpt_fingerprint(test_load)
-    if os.path.isdir(p):
-        return os.path.join(p, f"int8_calib-{fp}.json")
-    return f"{p}.int8_calib-{fp}.json"
+    from vqwild_tpu.models.quant import calibration_path
+
+    return calibration_path(test_load)
 
 
 def _extraction_mode_tag(cfg) -> str:
-    """wire/quant/dtype identity of extracted features (see _ckpt_cache_tag)."""
+    """Extraction-mode identity of cached features (see _ckpt_cache_tag):
+    everything besides the checkpoint weights that shapes the cached
+    arrays — wire/quant/dtype AND the eval-geometry knobs (frames per
+    chunk, crop size, clip window seconds, temporal stride). A cached
+    pooled gallery built at --temporal_stride 1 must not satisfy the
+    forced cache read of a --temporal_stride 2 evaluation."""
     parts = [cfg.eval.wire, cfg.eval.trunk_quant or "float"]
     if cfg.model.compute_dtype != "float32":
         parts.append(cfg.model.compute_dtype)
+    parts.append(
+        f"tf{cfg.data.test_frame}px{cfg.data.input_size}"
+        f"cs{cfg.eval.clip_sec}mc{cfg.eval.moment_clip_sec}"
+        f"ts{cfg.eval.temporal_stride}"
+    )
     return "-".join(parts)
 
 

@@ -110,10 +110,14 @@ def load_split_file(path: str) -> SplitSpec:
     base = os.path.dirname(os.path.abspath(path))
 
     def _resolve(p: str) -> str:
+        # unconditional: a relative path in a spec file means spec-relative.
+        # Falling back to the raw name when the file is missing would let a
+        # relocated world silently pick up an identically-named DB under
+        # --data_root (datagen emits constant filenames) — better to error
+        # at the spec-relative path the contract promises.
         if not p or os.path.isabs(p):
             return p
-        cand = os.path.join(base, p)
-        return cand if os.path.exists(cand) else p
+        return os.path.join(base, p)
 
     return SplitSpec(
         name=d["name"],

@@ -55,6 +55,15 @@ def sample_frame_indices(
     return np.clip(locs, 1, total_frames).astype(np.int64)
 
 
+def temporal_iou(min1, max1, min2, max2) -> float:
+    """calculate_iou (dataloader_baseline.py:1095-1097): plain interval IoU,
+    union spans min..max even when disjoint. Lives here (dependency-free)
+    so offline tools (datagen stats) share the retrieval engine's exact
+    interval math without importing jax."""
+    overlap = max(0.0, min(max1, max2) - max(min1, min2))
+    return overlap * 1.0 / (max(max2, max1) - min(min1, min2))
+
+
 def chunk_ranges(total: int, chunk: int) -> list:
     """Contiguous [start, length] chunks covering range(total), last partial —
     the LongVideoDataset chunking (dataloader_baseline.py:40-56, :256-260).

@@ -23,7 +23,8 @@ from typing import Dict, Iterable, List, Sequence
 
 import numpy as np
 
-NOISE_LABEL = "distractor_activity"
+from vqwild_tpu.data.labels import NOISE_LABEL
+from vqwild_tpu.data.sampling import temporal_iou
 
 VIDEOS_PER_CLASS_BINS = [0, 10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120]
 FG_DURATION_BINS = [0, 20, 40, 60, 80, 100, 120, 140, 160, 180, 200, 220, 240, 260]
@@ -80,7 +81,7 @@ def _closest_moment_ious(
     """find_closest_moment (2_generate_moment_test.py:79-138): best tIoU of
     each annotation against the moment grid, in CLIP-INDEX space (upstream
     divides by clip_sec and checks the four integer-snapped candidates)."""
-    from vqwild_tpu.retrieval.moment import temporal_iou as iou
+    iou = temporal_iou
 
     excluded = set(excluded_labels)
     ious: List[float] = []

@@ -84,6 +84,54 @@ def load_calibration(path: str) -> Dict[str, float]:
     return {k: float(v) for k, v in payload["maxima"].items()}
 
 
+def checkpoint_fingerprint(test_load: str) -> str:
+    """10-hex identity of a checkpoint's weights: path + per-file
+    mtime/size. Derived artifacts living beside/inside the checkpoint
+    (int8_calib*.json) are excluded so writing them does not change the
+    fingerprint of the weights they were derived from.
+
+    Shared by every process that evaluates or serves a checkpoint (eval
+    CLI cache tags, serve calibration discovery) — they must agree on the
+    identity or they disagree on the artifacts."""
+    import hashlib
+    import os
+
+    p = os.path.abspath(test_load)
+    h = hashlib.sha256(p.encode())
+    try:
+        if os.path.isdir(p):
+            for root, _, files in sorted(os.walk(p)):
+                for fn in sorted(files):
+                    if fn.startswith("int8_calib"):
+                        continue
+                    st = os.stat(os.path.join(root, fn))
+                    h.update(f"{fn}:{st.st_mtime_ns}:{st.st_size}".encode())
+        else:
+            st = os.stat(p)
+            h.update(f"{st.st_mtime_ns}:{st.st_size}".encode())
+    except OSError:
+        pass
+    return h.hexdigest()[:10]
+
+
+def calibration_path(test_load: str):
+    """Where a checkpoint's int8 calibration scales persist
+    (save_calibration): beside the checkpoint, so every process serving or
+    evaluating it quantizes with identical numerics. The filename embeds
+    the checkpoint's weight fingerprint — overwriting a checkpoint in
+    place (retrain to the same path) must not silently reuse scales
+    calibrated on the old weights' activation ranges."""
+    import os
+
+    if not test_load:
+        return None
+    p = os.path.abspath(test_load)
+    fp = checkpoint_fingerprint(test_load)
+    if os.path.isdir(p):
+        return os.path.join(p, f"int8_calib-{fp}.json")
+    return f"{p}.int8_calib-{fp}.json"
+
+
 def _stem_input_scales() -> np.ndarray:
     """Static per-channel scales of the centered YUV s2d feed (6 channels).
 
@@ -290,15 +338,20 @@ def int8_trunk_apply(qp, y_u8, uv_u8):
     return feats.reshape(b, t, -1)
 
 
+def _normalized_embed(qp, y_u8, uv_u8):
+    """int8 trunk + the serving epilogue: L2-normalize, [B, C, T] layout."""
+    fe = int8_trunk_apply(qp, y_u8, uv_u8)
+    fe = fe / jnp.maximum(jnp.linalg.norm(fe, axis=-1, keepdims=True), 1e-12)
+    return jnp.transpose(fe, (0, 2, 1))
+
+
 @jax.jit
 def _embed_int8(qp, y_u8, uv_u8):
     """The compiled serving graph. ``qp`` is an ARGUMENT, not a closure
     constant: recalibrating (new checkpoint, new calibration batch) reuses
     this executable instead of triggering a fresh XLA compile — scales and
     int8 kernels are runtime parameters of the same program."""
-    fe = int8_trunk_apply(qp, y_u8, uv_u8)
-    fe = fe / jnp.maximum(jnp.linalg.norm(fe, axis=-1, keepdims=True), 1e-12)
-    return jnp.transpose(fe, (0, 2, 1))
+    return _normalized_embed(qp, y_u8, uv_u8)
 
 
 def make_int8_embed_fn(variables, calib_planes, *, calib=None, device=None,
@@ -326,21 +379,23 @@ def make_int8_embed_fn(variables, calib_planes, *, calib=None, device=None,
     if calib is None:
         calib = calibrate_trunk(variables, *calib_planes, bn_eps=bn_eps)
     qp = quantize_trunk(variables, calib, bn_eps=bn_eps)
-    qp = jax.device_put(qp, device) if device is not None else jax.device_put(qp)
 
     if const_params:
+        # keep qp on HOST: jit bakes the constants into the executable at
+        # trace time, so a device_put copy held by the closure would leave
+        # the whole quantized trunk resident on device twice
+        qp_host = jax.tree_util.tree_map(np.asarray, qp)
+
         @jax.jit
         def _embed_const(y_u8, uv_u8):
-            fe = int8_trunk_apply(qp, y_u8, uv_u8)  # qp → XLA constants
-            fe = fe / jnp.maximum(
-                jnp.linalg.norm(fe, axis=-1, keepdims=True), 1e-12
-            )
-            return jnp.transpose(fe, (0, 2, 1))
+            return _normalized_embed(qp_host, y_u8, uv_u8)  # qp → constants
 
         def f(y_u8, uv_u8):
             return _embed_const(jnp.asarray(y_u8), jnp.asarray(uv_u8))
 
         return f
+
+    qp = jax.device_put(qp, device) if device is not None else jax.device_put(qp)
 
     def f(y_u8, uv_u8):
         return _embed_int8(qp, jnp.asarray(y_u8), jnp.asarray(uv_u8))

@@ -66,9 +66,20 @@ def barrier(name: str, timeout_ms: int = 600_000) -> None:
     skew across processes must be compiled ahead of time and then entered
     together. AOT-compile, barrier, execute. No-op in single-process
     runtimes."""
-    from jax._src import distributed as _dist
+    # jax exposes no public coordination-service barrier; the private path
+    # is guarded so a jax upgrade fails loudly here instead of reintroducing
+    # the silent handshake-timeout race this barrier exists to prevent
+    try:
+        from jax._src import distributed as _dist
 
-    client = _dist.global_state.client
-    if client is None:
-        return
-    client.wait_at_barrier(name, timeout_ms)
+        client = _dist.global_state.client
+        wait = None if client is None else client.wait_at_barrier
+    except (ImportError, AttributeError) as e:  # pragma: no cover
+        raise RuntimeError(
+            "parallel.distributed.barrier needs jax's internal coordination "
+            "client (jax._src.distributed.global_state.client.wait_at_barrier); "
+            "this jax version moved it — update the import here"
+        ) from e
+    if wait is None:
+        return  # single-process runtime: nothing to synchronize
+    wait(name, timeout_ms)

@@ -34,6 +34,7 @@ import numpy as np
 
 from vqwild_tpu.core.logging import get_logger
 from vqwild_tpu.data.labels import SplitSpec
+from vqwild_tpu.data.sampling import temporal_iou  # canonical def (jax-free)
 from vqwild_tpu.data.schema import MomentDB, VideoRecord
 from vqwild_tpu.ops import metrics_np
 from vqwild_tpu.ops.hostmem import alloc_array
@@ -57,13 +58,6 @@ def _phase(timings, key):
         yield
     finally:
         timings[key] = timings.get(key, 0.0) + time.perf_counter() - t0
-
-
-def temporal_iou(min1, max1, min2, max2) -> float:
-    """calculate_iou (dataloader_baseline.py:1095-1097): plain interval IoU,
-    union spans min..max even when disjoint."""
-    overlap = max(0.0, min(max1, max2) - max(min1, min2))
-    return overlap * 1.0 / (max(max2, max1) - min(min1, min2))
 
 
 def closest_hit(annotations, loc_sec, possible_classes):

@@ -130,11 +130,11 @@ def _build_embed_fn(args):
     _, _, _, model, params, state_vars, _, _ = build_stack(cfg)
     variables = load_variables(args.test_load, cfg.model.method, model, params,
                                state_vars)
-    from vqwild_tpu.apps.cli import _int8_calib_path
+    from vqwild_tpu.models.quant import calibration_path
 
     return make_feat_fn(model, variables, wire="yuv420",
                         quant=cfg.eval.trunk_quant,
-                        calib_path=_int8_calib_path(args.test_load))
+                        calib_path=calibration_path(args.test_load))
 
 
 def _build_index(args, embed_fn):
