@@ -202,3 +202,65 @@ class TestNMSParity:
             dets32 = dets64.astype(np.float32)
             ref_keep32 = list(ref_nms(dets32.astype(np.float64), 0.5))
             assert temporal_nms(dets32, 0.5) == ref_keep32, f"trial {trial}"
+
+
+class TestStatsGridParity:
+    def test_find_closest_moment_matches_reference(self):
+        """datagen stats' moment tIoU-coverage math against the reference's
+        own find_closest_moment (2_generate_moment_test.py:79-138).
+
+        The script executes its pipeline at import (reads the ActivityNet
+        JSON at module level), so the function is extracted by ast from the
+        source and exec'd with its one global (arv_val_label) injected —
+        the function body runs byte-for-byte as shipped."""
+        import ast
+        import os
+
+        src_path = os.path.join(
+            REF_ROOT, "data_generate", "2_generate_moment_test.py"
+        )
+        if not os.path.exists(src_path):
+            pytest.skip("reference mount unavailable")
+        with open(src_path) as f:
+            tree = ast.parse(f.read())
+        fn = next(
+            n for n in tree.body
+            if isinstance(n, ast.FunctionDef) and n.name == "find_closest_moment"
+        )
+        val_labels = ("val_a", "val_b")
+        ns = {"arv_val_label": list(val_labels)}
+        exec(compile(ast.Module([fn], []), src_path, "exec"), ns)
+        ref_fn = ns["find_closest_moment"]
+
+        from vqwild_tpu.datagen.stats import _closest_moment_ious
+
+        rng = np.random.default_rng(7)
+        labels = ["base_x", "base_y", "val_a", "novel_z"]
+        gallery = []
+        for _ in range(40):
+            anns = []
+            for _ in range(int(rng.integers(0, 6))):
+                s = float(rng.uniform(0, 200))
+                # mix short/long/degenerate segments, incl. exact multiples
+                # of clip_sec (integer-snap edge) and > max_clips spans
+                kind = rng.integers(0, 4)
+                if kind == 0:
+                    e = s  # degenerate: upstream skips
+                elif kind == 1:
+                    e = s + float(rng.uniform(0.5, 20))
+                elif kind == 2:
+                    e = s + float(rng.integers(1, 30)) * 5.0  # snap edges
+                else:
+                    e = s + float(rng.uniform(100, 400))  # beyond the cap
+                anns.append(
+                    {"segment": [s, e], "label": labels[rng.integers(0, 4)]}
+                )
+            gallery.append({"annotations": anns})
+
+        for clip_sec in (5, 7, 9):
+            for max_clips in (14, 20, 26):
+                ref = ref_fn(gallery, clip_sec, max_clips)
+                ours = _closest_moment_ious(
+                    gallery, clip_sec, max_clips, val_labels
+                )
+                np.testing.assert_allclose(ours, ref, rtol=0, atol=0)
