@@ -160,14 +160,39 @@ class TestCacheTag:
             ["--evaluate"], tmp_path, b
         )
 
-    def test_fake_features_single_cache(self, tmp_path):
+    def test_fake_features_cache_keyed_by_mode(self, tmp_path):
+        """Fake features skip the model but NOT the windowing: their cached
+        galleries still depend on the geometry and dataset, so the fake tag
+        carries the mode suffix too."""
         cfg, extra = cli.parse(["--evaluate", "--memory_leak_debug"])
-        assert (
-            cli._ckpt_cache_tag(
-                "", cfg.eval.fake_features, mode=cli._extraction_mode_tag(cfg)
-            )
-            == "fake"
+        tag = cli._ckpt_cache_tag(
+            "", cfg.eval.fake_features, mode=cli._extraction_mode_tag(cfg)
         )
+        assert tag.startswith("fake-")
+        cfg2, _ = cli.parse(
+            ["--evaluate", "--memory_leak_debug", "--temporal_stride", "2"]
+        )
+        tag2 = cli._ckpt_cache_tag(
+            "", cfg2.eval.fake_features, mode=cli._extraction_mode_tag(cfg2)
+        )
+        assert tag2 != tag
+
+    def test_dataset_identity_keys_the_cache(self, tmp_path):
+        """run_name() is only method+novel+mv, so two worlds/splits can
+        share a run_dir — the cache tag must separate them."""
+        ckpt = str(tmp_path / "best.pth.tar")
+        open(ckpt, "wb").write(b"x")
+        base = ["--evaluate"]
+        tags = {
+            self._tag(base + extra, tmp_path, ckpt)
+            for extra in [
+                [],
+                ["--meta_split", "120_20_60"],
+                ["--frame_store", "synthetic"],
+                ["--data_root", str(tmp_path / "other_world")],
+            ]
+        }
+        assert len(tags) == 4
 
 
 class TestOptimizerAndPretrainedFlags:

@@ -125,6 +125,13 @@ class TestSchema:
         assert schema.infer_semantic_dim("wordembed_synth_d2000.json") == 2000
         assert schema.infer_semantic_dim("wordembed_word2vec_d300.json") == 300
         assert schema.infer_semantic_dim("/data/d300/wordembed_x.json") == 300
+        # right-delimited fallback: dim token glued to an alnum prefix
+        assert schema.infer_semantic_dim("glove6Bd512.json") == 512
+        # no dim token at all must fail loudly, not match word2vec's d2
+        import pytest
+
+        with pytest.raises(ValueError):
+            schema.infer_semantic_dim("word2vec.json")
 
 
 class TestClipsAndTriplets:

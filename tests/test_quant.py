@@ -184,6 +184,39 @@ class TestCalibrationPersistence:
         loaded = quant.load_calibration(path)
         assert loaded == calib
 
+    def test_calibration_path_fingerprint_and_legacy_migration(self, tmp_path):
+        """calibration_path embeds the checkpoint weight fingerprint; when
+        only a pre-fingerprint int8_calib.json exists it is returned
+        instead — a fleet whose gallery was embedded with the old scales
+        must keep loading them, never recalibrate on a fresh batch."""
+        import json
+        import os
+
+        ckpt = str(tmp_path / "best.pth.tar")
+        open(ckpt, "wb").write(b"w")
+        p = quant.calibration_path(ckpt)
+        assert ".int8_calib-" in p and p.endswith(".json")
+        # legacy file present, fingerprinted absent -> legacy wins (read path)
+        legacy = ckpt + ".int8_calib.json"
+        json.dump({"format": "vqwild-int8-calib-v1", "maxima": {}}, open(legacy, "w"))
+        assert quant.calibration_path(ckpt) == legacy
+        # fingerprinted file appears -> it wins again
+        open(p, "w").write("{}")
+        assert quant.calibration_path(ckpt) == p
+        os.remove(legacy)
+        os.remove(p)
+
+        # directory checkpoints: sibling/in-dir calib files never churn the
+        # weight fingerprint (else every calibration write would invalidate
+        # the eval caches and re-trigger calibration forever)
+        ckdir = tmp_path / "orbax_ckpt"
+        ckdir.mkdir()
+        (ckdir / "weights.bin").write_bytes(b"w" * 8)
+        fp0 = quant.checkpoint_fingerprint(str(ckdir))
+        (ckdir / "int8_calib-deadbeef00.json").write_text("{}")
+        (ckdir / "weights.bin.int8_calib-cafe000000.json").write_text("{}")
+        assert quant.checkpoint_fingerprint(str(ckdir)) == fp0
+
     def test_load_rejects_foreign_json(self, tmp_path):
         import json
 

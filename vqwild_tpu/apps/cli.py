@@ -326,14 +326,16 @@ def _ckpt_cache_tag(test_load: str, fake: bool, mode: str = "") -> str:
     key the cache directory by the loaded checkpoint's path + mtime + size,
     so stale features can never be attributed to a different model.
 
-    ``mode`` is the extraction-mode identity (wire/quant/dtype): the same
-    checkpoint evaluated float and then with --trunk_int8 (or a different
-    --wire) produces different features, so the modes must not share a
-    cache either.
+    ``mode`` is the extraction-mode identity (wire/quant/dtype, eval
+    geometry, dataset identity): the same checkpoint evaluated float and
+    then with --trunk_int8 (or a different --wire, window geometry, or
+    meta split) produces different features, so the modes must not share a
+    cache either. Fake features are mode-keyed too — their gallery windows
+    still depend on the geometry and the dataset.
     """
-    if fake:
-        return "fake"
     suffix = "-" + mode if mode else ""
+    if fake:
+        return "fake" + suffix
     if not test_load:
         return "init" + suffix
     return _ckpt_fingerprint(test_load) + suffix
@@ -355,10 +357,15 @@ def _int8_calib_path(test_load: str) -> "Optional[str]":
 def _extraction_mode_tag(cfg) -> str:
     """Extraction-mode identity of cached features (see _ckpt_cache_tag):
     everything besides the checkpoint weights that shapes the cached
-    arrays — wire/quant/dtype AND the eval-geometry knobs (frames per
-    chunk, crop size, clip window seconds, temporal stride). A cached
-    pooled gallery built at --temporal_stride 1 must not satisfy the
-    forced cache read of a --temporal_stride 2 evaluation."""
+    arrays — wire/quant/dtype, the eval-geometry knobs (frames per chunk,
+    crop size, clip window seconds, temporal stride), AND the dataset
+    identity (meta split, frame store, data paths). A cached pooled
+    gallery built at --temporal_stride 1 must not satisfy the forced
+    cache read of a --temporal_stride 2 evaluation; neither may a gallery
+    built from a different --meta_split or world directory — run_name()
+    is only method+novel+mv, so two worlds can share a run_dir."""
+    import hashlib
+
     parts = [cfg.eval.wire, cfg.eval.trunk_quant or "float"]
     if cfg.model.compute_dtype != "float32":
         parts.append(cfg.model.compute_dtype)
@@ -367,6 +374,18 @@ def _extraction_mode_tag(cfg) -> str:
         f"cs{cfg.eval.clip_sec}mc{cfg.eval.moment_clip_sec}"
         f"ts{cfg.eval.temporal_stride}"
     )
+    ds = "|".join(
+        str(x)
+        for x in (
+            cfg.data.meta_split,
+            cfg.data.frame_store,
+            cfg.data.frames_dir,
+            cfg.data.data_root,
+            cfg.data.arv_db_json,
+            cfg.data.moment_db_json,
+        )
+    )
+    parts.append("ds" + hashlib.sha256(ds.encode()).hexdigest()[:8])
     return "-".join(parts)
 
 

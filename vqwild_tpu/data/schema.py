@@ -147,17 +147,26 @@ def load_moment_db(path: str) -> MomentDB:
 def infer_semantic_dim(semantic_json: str) -> int:
     """Dim inferred from the filename substring, as upstream does
     (dataloader_baseline.py:142-155: checks d300/d200/d1024). We accept any
-    boundary-delimited ``d{N}`` token so custom embedding files work too —
-    the token match must run BEFORE upstream's bare substring check, or
-    e.g. ``d2000`` would false-match the ``d200`` prefix and return 200.
-    The token needs a non-alphanumeric boundary before the ``d`` so the
-    ``d2`` inside ``word2vec`` never matches."""
-    m = re.search(r"(?:^|[^a-zA-Z0-9])d(\d+)(?:\D|$)", os.path.basename(semantic_json))
+    ``d{N}`` token so custom embedding files work too, in strictness
+    order — the delimited token match must run BEFORE upstream's bare
+    substring check, or e.g. ``d2000`` would false-match the ``d200``
+    prefix and return 200:
+
+    1. both-side-delimited ``_d300.`` style tokens;
+    2. upstream's bare substrings (matches path components like ``d300/``);
+    3. right-delimited only (``glove6Bd512.json`` → 512) — the trailing
+       boundary means the ``d2`` inside ``word2vec`` can never match
+       (followed by a letter)."""
+    base = os.path.basename(semantic_json)
+    m = re.search(r"(?:^|[^a-zA-Z0-9])d(\d+)(?=[^a-zA-Z0-9]|$)", base)
     if m:
         return int(m.group(1))
     for d in (300, 200, 1024):
         if f"d{d}" in semantic_json:
             return d
+    m = re.search(r"d(\d+)(?=[^a-zA-Z0-9]|$)", base)
+    if m:
+        return int(m.group(1))
     raise ValueError(f"cannot infer embedding dim from {semantic_json!r}")
 
 

@@ -67,8 +67,12 @@ def save_calibration(path: str, calib: Dict[str, float]) -> None:
 
     # unique tmp per writer: concurrent first-time calibrators (the very
     # multi-process scenario persistence exists for) must not interleave
-    # writes into one shared tmp file before the atomic publish
-    tmp = f"{path}.{os.getpid()}.tmp"
+    # writes into one shared tmp file before the atomic publish. uuid, not
+    # pid: two containerized hosts writing to a shared filesystem are
+    # commonly both pid 1
+    import uuid
+
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as f:
         json.dump({"format": _CALIB_FORMAT, "maxima": calib}, f, indent=1)
     os.replace(tmp, path)
@@ -102,7 +106,10 @@ def checkpoint_fingerprint(test_load: str) -> str:
         if os.path.isdir(p):
             for root, _, files in sorted(os.walk(p)):
                 for fn in sorted(files):
-                    if fn.startswith("int8_calib"):
+                    # substring, not prefix: a file checkpoint inside this
+                    # directory gets sibling <file>.int8_calib-<fp>.json
+                    # artifacts, which must not churn the dir fingerprint
+                    if "int8_calib" in fn:
                         continue
                     st = os.stat(os.path.join(root, fn))
                     h.update(f"{fn}:{st.st_mtime_ns}:{st.st_size}".encode())
@@ -120,7 +127,15 @@ def calibration_path(test_load: str):
     evaluating it quantizes with identical numerics. The filename embeds
     the checkpoint's weight fingerprint — overwriting a checkpoint in
     place (retrain to the same path) must not silently reuse scales
-    calibrated on the old weights' activation ranges."""
+    calibrated on the old weights' activation ranges.
+
+    Migration: if the fingerprinted file does not exist but a legacy
+    unfingerprinted ``int8_calib.json`` does, the legacy path is returned —
+    a fleet whose gallery was embedded with the old scales must keep
+    loading them, not recalibrate on an arbitrary new batch and disagree
+    with its own gallery. (Readers load whatever this returns; writers only
+    run when the file is absent, so new calibrations always get the
+    fingerprinted name.)"""
     import os
 
     if not test_load:
@@ -128,8 +143,14 @@ def calibration_path(test_load: str):
     p = os.path.abspath(test_load)
     fp = checkpoint_fingerprint(test_load)
     if os.path.isdir(p):
-        return os.path.join(p, f"int8_calib-{fp}.json")
-    return f"{p}.int8_calib-{fp}.json"
+        path = os.path.join(p, f"int8_calib-{fp}.json")
+        legacy = os.path.join(p, "int8_calib.json")
+    else:
+        path = f"{p}.int8_calib-{fp}.json"
+        legacy = f"{p}.int8_calib.json"
+    if not os.path.exists(path) and os.path.exists(legacy):
+        return legacy
+    return path
 
 
 def _stem_input_scales() -> np.ndarray:
@@ -374,13 +395,17 @@ def make_int8_embed_fn(variables, calib_planes, *, calib=None, device=None,
     pre-lays-out and constant-folds the weights), at the cost of a full
     recompile per calibration/process — the right trade for long-lived
     serving now that calibration persists on disk (save_calibration), and
-    wrong for calibrate-often evaluation. Single-device only.
+    wrong for calibrate-often evaluation. Single-device only, placed on the
+    default device: ``device`` must be None in this mode (asserted).
     """
     if calib is None:
         calib = calibrate_trunk(variables, *calib_planes, bn_eps=bn_eps)
     qp = quantize_trunk(variables, calib, bn_eps=bn_eps)
 
     if const_params:
+        # const mode bakes params into the executable on the default
+        # device; an explicit placement request cannot be honored here
+        assert device is None, "const_params=True places via the default device"
         # keep qp on HOST: jit bakes the constants into the executable at
         # trace time, so a device_put copy held by the closure would leave
         # the whole quantized trunk resident on device twice
