@@ -431,8 +431,13 @@ class FeatureExtractor:
             return
         base = path[:-4] if path.endswith(".npz") else path
         log.warning("writing feature cache %s/", base)
-        tmp = base + ".tmp"
-        os.makedirs(tmp, exist_ok=True)
+        # unique tmp per writer: two processes evaluating into the same
+        # run_dir must not interleave files in one staging directory
+        import shutil
+        import uuid
+
+        tmp = f"{base}.{uuid.uuid4().hex}.tmp"
+        os.makedirs(tmp)
         for key, arr in arrays.items():
             arr = np.asarray(arr)
             fp = os.path.join(tmp, key + ".npy")
@@ -447,7 +452,12 @@ class FeatureExtractor:
                 del mm
         # atomic publish so a crashed writer never leaves a half cache
         if os.path.isdir(base):
-            import shutil
-
             shutil.rmtree(base)
-        os.replace(tmp, base)
+        try:
+            os.replace(tmp, base)
+        except OSError:
+            # lost the publish race to a concurrent writer (same inputs by
+            # construction — the tag keys checkpoint+mode): accept theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(base):
+                raise
