@@ -113,7 +113,7 @@ def bench_jax() -> float:
     ]
     np.asarray(embed(*bufs[0]))  # warm
     cps = 0.0
-    for sweep in range(5):  # the dev relay's health swings run-to-run; keep best
+    for sweep in range(8):  # the dev relay's health swings run-to-run; keep best
         t0 = time.time()
         outs = [embed(*b) for b in bufs]
         for o in outs:
