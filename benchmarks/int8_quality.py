@@ -13,10 +13,13 @@ Usage (after a convergence run left a checkpoint in the world dir):
   python benchmarks/int8_quality.py --world /tmp/sw_world \
       --method vasa --out benchmarks/INT8_QUALITY_r03_tpu.json
 
-All three evaluations run through the real CLI (fresh run_dirs; the cache
-tag keys quant mode, so nothing is shared between them); int8 and
-int8_const load the same persisted calibration file beside the checkpoint,
-so their numerics are pinned identical by construction.
+All evaluations run through the real CLI (fresh run_dirs; the cache tag
+keys quant mode, so nothing is shared between them); int8 and int8_const
+load the same persisted calibration file beside the checkpoint, so their
+numerics are pinned identical by construction. A float_rgb_wire reference
+row isolates the yuv420-wire effect from quantization: the synthetic
+world's textures are RGB-rendered, so 4:2:0 chroma subsampling costs
+accuracy THERE (real ActivityNet frames are 4:2:0 on disk — lossless).
 """
 
 from __future__ import annotations
@@ -29,19 +32,34 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from common import headline_metrics as headline  # noqa: E402
+
+# mode -> (wire, extra flags); deltas are computed vs "float" (same wire
+# as the quantized modes, so the comparison isolates quantization)
 MODES = {
-    "float": [],
-    "int8": ["--trunk_int8"],
-    "int8_const": ["--trunk_int8_const"],
+    "float": ("yuv420", []),
+    "int8": ("yuv420", ["--trunk_int8"]),
+    "int8_const": ("yuv420", ["--trunk_int8_const"]),
+    "float_rgb_wire": ("rgb", []),
 }
+
+WIRE_NOTE = (
+    "Quantized modes are compared against float on the same yuv420 wire. "
+    "float_rgb_wire is the same checkpoint on the rgb wire (it reproduces "
+    "the training-time eval): any gap between it and the float column is "
+    "the 4:2:0 chroma subsample on the synthetic world's RGB-rendered "
+    "textures, NOT quantization. Real ActivityNet frames are 4:2:0 on "
+    "disk already, making the yuv420 wire lossless there."
+)
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def run_eval(args, mode: str, extra_flags) -> dict:
+def run_eval(args, mode: str, wire: str, extra_flags) -> dict:
     ckpt = os.path.join(args.world, f"run_{args.method}", "checkpoints", "best")
     assert os.path.isdir(ckpt), f"no checkpoint at {ckpt} — run the convergence first"
     run_dir = os.path.join(args.world, f"int8q_{mode}")
@@ -55,7 +73,7 @@ def run_eval(args, mode: str, extra_flags) -> dict:
         "--frame_store", "synthetic_class",
         "--semantic_json", "wordembed_synth_d64.json",
         "--run_dir", run_dir,
-        "--wire", "yuv420",
+        "--wire", wire,
         "--compute_dtype", args.compute_dtype,
         "--workers", "4",
         *extra_flags,
@@ -70,18 +88,6 @@ def run_eval(args, mode: str, extra_flags) -> dict:
     return {"wall_s": round(wall, 1), "metrics": metrics}
 
 
-def headline(metrics: dict) -> dict:
-    out = {}
-    for regime, block in metrics.items():
-        if not isinstance(block, dict):
-            continue
-        b = block.get("map05", block)  # moment nests under the tIoU key
-        out[regime] = {
-            k: b.get(k) for k in ("ap", "base_map", "novel_map") if k in b
-        }
-    return out
-
-
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--world", required=True)
@@ -93,8 +99,8 @@ def main():
     import jax
 
     results = {}
-    for mode, flags in MODES.items():
-        results[mode] = run_eval(args, mode, flags)
+    for mode, (wire, flags) in MODES.items():
+        results[mode] = run_eval(args, mode, wire, flags)
         log(f"[{mode}] headline: {headline(results[mode]['metrics'])}")
 
     ref = headline(results["float"]["metrics"])
@@ -118,6 +124,7 @@ def main():
         compute_dtype=args.compute_dtype,
         headline={m: headline(r["metrics"]) for m, r in results.items()},
         delta_vs_float=deltas,
+        wire_note=WIRE_NOTE,
         wall_s={m: r["wall_s"] for m, r in results.items()},
     )
     out = json.dumps(report, indent=1)

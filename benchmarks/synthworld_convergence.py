@@ -31,6 +31,9 @@ import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from common import headline_metrics  # noqa: E402
 
 
 def log(msg):
@@ -103,23 +106,13 @@ def run_method(method: str, world: str, run_dir: str, args) -> dict:
         with open(eval_path) as f:
             final = json.load(f)
 
-    def _headline(block):
-        if not isinstance(block, dict):
-            return {}
-        b = block.get("map05", block)  # moment nests under tIoU key
-        return {
-            k: b.get(k)
-            for k in ("ap", "base_map", "novel_map")
-            if k in b
-        }
-
     return dict(
         method=method,
         wall_s=round(wall, 1),
         best_score=hist["best_score"],
         best_epoch=hist["best_epoch"],
         history=hist["history"],
-        final_testing={k: _headline(v) for k, v in final.items()},
+        final_testing=headline_metrics(final),
     )
 
 

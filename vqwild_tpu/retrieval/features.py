@@ -432,32 +432,37 @@ class FeatureExtractor:
         base = path[:-4] if path.endswith(".npz") else path
         log.warning("writing feature cache %s/", base)
         # unique tmp per writer: two processes evaluating into the same
-        # run_dir must not interleave files in one staging directory
+        # run_dir must not interleave files in one staging directory. The
+        # finally-rmtree bounds orphaned staging dirs from crashed writers
+        # (a no-op after a successful os.replace — tmp no longer exists).
         import shutil
         import uuid
 
         tmp = f"{base}.{uuid.uuid4().hex}.tmp"
         os.makedirs(tmp)
-        for key, arr in arrays.items():
-            arr = np.asarray(arr)
-            fp = os.path.join(tmp, key + ".npy")
-            if arr.dtype == object or arr.dtype.kind in "US":
-                np.save(fp, arr)
-            else:
-                mm = np.lib.format.open_memmap(
-                    fp, mode="w+", dtype=arr.dtype, shape=arr.shape
-                )
-                mm[...] = arr
-                mm.flush()
-                del mm
-        # atomic publish so a crashed writer never leaves a half cache
-        if os.path.isdir(base):
-            shutil.rmtree(base)
         try:
-            os.replace(tmp, base)
-        except OSError:
-            # lost the publish race to a concurrent writer (same inputs by
-            # construction — the tag keys checkpoint+mode): accept theirs
+            for key, arr in arrays.items():
+                arr = np.asarray(arr)
+                fp = os.path.join(tmp, key + ".npy")
+                if arr.dtype == object or arr.dtype.kind in "US":
+                    np.save(fp, arr)
+                else:
+                    mm = np.lib.format.open_memmap(
+                        fp, mode="w+", dtype=arr.dtype, shape=arr.shape
+                    )
+                    mm[...] = arr
+                    mm.flush()
+                    del mm
+            # atomic publish so a crashed writer never leaves a half cache.
+            # ignore_errors: a concurrent writer may be clearing the same
+            # stale dir — whoever's os.replace lands second just accepts the
+            # other's (identical-by-construction) result below.
+            if os.path.isdir(base):
+                shutil.rmtree(base, ignore_errors=True)
+            try:
+                os.replace(tmp, base)
+            except OSError:
+                if not os.path.isdir(base):
+                    raise
+        finally:
             shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.isdir(base):
-                raise
