@@ -198,3 +198,21 @@ class TestRankingLoss:
         s1, losses = step(state, clips, labels)
         assert "ranking_loss" in losses and np.isfinite(float(losses["ranking_loss"]))
         assert float(losses["loss"]) >= float(losses["ce_loss"])
+
+
+class TestDistributedSingleProcess:
+    """The multi-process paths run in tests/test_multiprocess.py on a real
+    2-process cluster; these guard the single-process no-op contracts."""
+
+    def test_initialize_returns_false_without_cluster_env(self, monkeypatch):
+        from vqwild_tpu.parallel import distributed
+
+        monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.delenv("NUM_PROCESSES", raising=False)
+        monkeypatch.delenv("PROCESS_ID", raising=False)
+        assert distributed.initialize() is False
+
+    def test_barrier_noop_single_process(self):
+        from vqwild_tpu.parallel import distributed
+
+        distributed.barrier("test_noop")  # must return, not block or raise
