@@ -28,6 +28,15 @@ log = get_logger("serve.index")
 _META_KEYS = ("video_id", "label", "retrieval_type")
 
 
+def _write_atomic(path: str, writer) -> None:
+    """tmp + os.replace: saving over an existing index must never leave a
+    torn metadata file beside the previous feats.npy."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        writer(f)
+    os.replace(tmp, path)
+
+
 import functools
 
 
@@ -73,8 +82,9 @@ class GalleryIndex:
         for stale in ("windows.npz", "videos.json"):
             if os.path.exists(os.path.join(path, stale)):
                 os.remove(os.path.join(path, stale))
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(self.meta, f)
+        _write_atomic(
+            os.path.join(path, "meta.json"), lambda f: json.dump(self.meta, f)
+        )
         feats = np.asarray(jax.device_get(self.scorer.g_dev))[: self.n]
         tmp = os.path.join(path, ".feats.tmp.npy")
         np.save(tmp, feats)
@@ -161,10 +171,14 @@ class MomentIndex:
         # feats.npy load-detection marker is published LAST (see
         # GalleryIndex.save)
         os.makedirs(path, exist_ok=True)
-        np.savez(os.path.join(path, "windows.npz"), video_idx=self.video_idx,
+        wtmp = os.path.join(path, ".windows.tmp.npz")
+        np.savez(wtmp, video_idx=self.video_idx,
                  start_sec=self.start_sec, end_sec=self.end_sec)
-        with open(os.path.join(path, "videos.json"), "w") as f:
-            json.dump(self.video_ids, f)
+        os.replace(wtmp, os.path.join(path, "windows.npz"))
+        _write_atomic(
+            os.path.join(path, "videos.json"),
+            lambda f: json.dump(self.video_ids, f),
+        )
         feats = np.asarray(jax.device_get(self.scorer.g_dev))[: self.n]
         tmp = os.path.join(path, ".feats.tmp.npy")
         np.save(tmp, feats)
