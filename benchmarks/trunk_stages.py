@@ -40,7 +40,7 @@ def main():
 
     from vqwild_tpu.core.config import ModelConfig
     from vqwild_tpu.models import build_model, init_model
-    from vqwild_tpu.models.fold import BasicBlockInfer, fold_trunk_params, space_to_depth
+    from vqwild_tpu.models.fold import fold_trunk_params
     from vqwild_tpu.ops.preprocess import normalize_clips_yuv420
 
     model = build_model(ModelConfig(method="baseline", nclass=200, compute_dtype="bfloat16"))

@@ -15,7 +15,7 @@ chunks read [start+1, ...] via the repeat branch.
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterator, List, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

@@ -14,7 +14,6 @@ ImageNet normalization constants are the ones baked into read_video
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import numpy as np
 

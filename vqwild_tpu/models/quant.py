@@ -35,7 +35,7 @@ models/resnet18_3d_f2f.py); this is a TPU-serving capability beyond parity.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

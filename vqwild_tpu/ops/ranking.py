@@ -19,7 +19,7 @@ with one batched computation over [Q, G] score matrices:
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ Everything here is also exercised on CPU via
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import numpy as np

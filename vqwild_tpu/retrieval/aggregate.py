@@ -16,7 +16,7 @@ Reproduces the reference's aggregation semantics exactly
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 

@@ -9,7 +9,7 @@ the trimmed query clips. tp = clip_label == query label.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax.numpy as jnp
 import numpy as np

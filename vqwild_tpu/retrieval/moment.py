@@ -26,7 +26,7 @@ from __future__ import annotations
 import concurrent.futures
 import time
 from contextlib import contextmanager
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ chunked [Q,G] device computation (ops.ranking).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax.numpy as jnp
 import numpy as np

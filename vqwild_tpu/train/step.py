@@ -22,8 +22,7 @@ a semantic the reference's single-process DataParallel never had to define.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp

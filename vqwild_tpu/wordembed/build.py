@@ -23,7 +23,7 @@ intentionally out of scope; externally produced ``{label: vector}`` JSONs
 from __future__ import annotations
 
 import json
-from typing import Dict, Iterable, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
