@@ -40,7 +40,15 @@ def log(msg):
 def bench_jax() -> float:
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    # key the persistent cache by host-CPU identity: the cache holds host
+    # (CPU-backend) executables too, and a reused stale-ISA binary after a
+    # host swap can SIGILL mid-bench (LLVM's feature-mismatch warning)
+    from vqwild_tpu.core.hostsig import host_cpu_signature
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(REPO, ".jax_cache", f"host-{host_cpu_signature()}"),
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if "cpu" not in (os.environ.get("JAX_PLATFORMS") or ""):
         # keep the accelerator default but make a CPU backend available for init

@@ -216,3 +216,20 @@ class TestDistributedSingleProcess:
         from vqwild_tpu.parallel import distributed
 
         distributed.barrier("test_noop")  # must return, not block or raise
+
+
+class TestHostSignature:
+    def test_stable_and_wellformed(self):
+        """Compiled-artifact caches key on this: must be deterministic within
+        a host and a short hex token safe for filenames."""
+        from vqwild_tpu.core.hostsig import host_cpu_signature
+
+        a = host_cpu_signature()
+        assert a == host_cpu_signature()
+        assert len(a) == 10 and all(c in "0123456789abcdef" for c in a)
+
+    def test_native_so_path_is_host_keyed(self):
+        from vqwild_tpu.core.hostsig import host_cpu_signature
+        from vqwild_tpu.native import lib as native_lib
+
+        assert host_cpu_signature() in native_lib._so_path()

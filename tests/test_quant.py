@@ -200,6 +200,16 @@ class TestCalibrationPersistence:
         legacy = ckpt + ".int8_calib.json"
         json.dump({"format": "vqwild-int8-calib-v1", "maxima": {}}, open(legacy, "w"))
         assert quant.calibration_path(ckpt) == legacy
+        # legacy file OLDER than the weights = calibrated on a checkpoint
+        # that was since retrained in place -> rejected (stale scales), the
+        # fingerprinted path comes back so writers recalibrate fresh
+        old = os.stat(ckpt).st_mtime - 100
+        os.utime(legacy, (old, old))
+        stale_p = quant.calibration_path(ckpt)
+        assert stale_p != legacy and ".int8_calib-" in stale_p
+        now = os.stat(ckpt).st_mtime + 1
+        os.utime(legacy, (now, now))
+        assert quant.calibration_path(ckpt) == legacy
         # fingerprinted file appears -> it wins again
         open(p, "w").write("{}")
         assert quant.calibration_path(ckpt) == p

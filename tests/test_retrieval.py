@@ -317,6 +317,47 @@ class TestFeatureCacheFormat:
         ex = fake_extractor(cache_dir=str(tmp_path))
         assert ex.load_cache("absent.npz") is None
 
+    def test_failed_publish_over_incomplete_dir_raises(self, tmp_path, monkeypatch):
+        """If os.replace fails AND the surviving directory is missing some of
+        the arrays being written (half-deleted by a partially-failed rmtree),
+        the writer must raise rather than publish the husk (ADVICE r3)."""
+        import os as _os
+
+        ex = fake_extractor(cache_dir=str(tmp_path))
+        base = tmp_path / "gal"
+        base.mkdir()
+        np.save(base / "feats.npy", np.ones(3))  # 'hit_label.npy' missing
+
+        def boom(src, dst):
+            raise OSError(39, "Directory not empty", dst)
+
+        monkeypatch.setattr(_os, "replace", boom)
+        monkeypatch.setattr("shutil.rmtree", lambda *a, **k: None)  # rmtree "fails"
+        with pytest.raises(OSError):
+            ex.save_cache("gal.npz", feats=np.ones(3), hit_label=np.array(["a"]))
+
+    def test_failed_publish_over_complete_dir_is_accepted(self, tmp_path, monkeypatch):
+        """A concurrent writer's complete result is accepted when replace
+        loses the race."""
+        import os as _os
+        import shutil as _shutil
+
+        ex = fake_extractor(cache_dir=str(tmp_path))
+        ex.save_cache("gal.npz", feats=np.ones(3), hit_label=np.array(["a"]))
+        real_rmtree = _shutil.rmtree
+
+        def boom(src, dst):
+            real_rmtree(src)  # emulate: our tmp consumed, dst already present
+            raise OSError(39, "Directory not empty", dst)
+
+        monkeypatch.setattr(_os, "replace", boom)
+        monkeypatch.setattr(
+            "shutil.rmtree", lambda p, **k: None if p.endswith("gal") else real_rmtree(p, **k)
+        )
+        ex.save_cache("gal.npz", feats=np.ones(3) * 2, hit_label=np.array(["b"]))
+        out = ex.load_cache("gal.npz")
+        assert out is not None and set(out) == {"feats", "hit_label"}
+
 
 class TestExtractorYUVWire:
     def test_trimmed_features_match_rgb_wire(self, tiny_arv):

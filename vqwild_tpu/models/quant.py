@@ -130,12 +130,16 @@ def calibration_path(test_load: str):
     calibrated on the old weights' activation ranges.
 
     Migration: if the fingerprinted file does not exist but a legacy
-    unfingerprinted ``int8_calib.json`` does, the legacy path is returned —
-    a fleet whose gallery was embedded with the old scales must keep
-    loading them, not recalibrate on an arbitrary new batch and disagree
-    with its own gallery. (Readers load whatever this returns; writers only
-    run when the file is absent, so new calibrations always get the
-    fingerprinted name.)"""
+    unfingerprinted ``int8_calib.json`` does AND is at least as new as the
+    checkpoint's weights, the legacy path is returned — a fleet whose
+    gallery was embedded with the old scales must keep loading them, not
+    recalibrate on an arbitrary new batch and disagree with its own
+    gallery. A legacy file *older* than the weights was calibrated on a
+    previous checkpoint that was since overwritten in place — exactly the
+    stale-scales bug fingerprinting exists to prevent — so it is rejected
+    and the fingerprinted path is returned for a fresh calibration.
+    (Readers load whatever this returns; writers only run when the file is
+    absent, so new calibrations always get the fingerprinted name.)"""
     import os
 
     if not test_load:
@@ -149,8 +153,48 @@ def calibration_path(test_load: str):
         path = f"{p}.int8_calib-{fp}.json"
         legacy = f"{p}.int8_calib.json"
     if not os.path.exists(path) and os.path.exists(legacy):
-        return legacy
+        from vqwild_tpu.core.logging import get_logger
+
+        log = get_logger("models.quant")
+        try:
+            legacy_mtime = os.stat(legacy).st_mtime_ns
+        except OSError:
+            legacy_mtime = -1
+        if legacy_mtime >= _checkpoint_mtime_ns(p):
+            log.warning(
+                "int8 calibration: using legacy unfingerprinted %s "
+                "(predates fingerprinted scheme); next calibration writes %s",
+                legacy,
+                os.path.basename(path),
+            )
+            return legacy
+        log.warning(
+            "int8 calibration: ignoring legacy %s — older than the "
+            "checkpoint weights (retrained in place?); recalibrating to %s",
+            legacy,
+            os.path.basename(path),
+        )
     return path
+
+
+def _checkpoint_mtime_ns(p: str) -> int:
+    """Newest weight-file mtime of a checkpoint path (calibration artifacts
+    excluded — they derive from the weights, they don't date them)."""
+    import os
+
+    newest = 0
+    try:
+        if os.path.isdir(p):
+            for root, _, files in os.walk(p):
+                for fn in files:
+                    if "int8_calib" in fn:
+                        continue
+                    newest = max(newest, os.stat(os.path.join(root, fn)).st_mtime_ns)
+        else:
+            newest = os.stat(p).st_mtime_ns
+    except OSError:
+        pass
+    return newest
 
 
 def _stem_input_scales() -> np.ndarray:

@@ -18,7 +18,19 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "engine.cpp")
-_SO = os.path.join(_DIR, "_vq_native.so")
+
+
+def _so_path() -> str:
+    """Host-ISA-keyed build artifact: the engine compiles with
+    ``-march=native``, so a .so built on one host can SIGILL on another
+    (shared filesystems / container re-scheduling). Embedding the CPU
+    signature in the filename makes a host swap a rebuild, not a crash."""
+    from vqwild_tpu.core.hostsig import host_cpu_signature
+
+    return os.path.join(_DIR, f"_vq_native-{host_cpu_signature()}.so")
+
+
+_SO = _so_path()
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _failed = False

@@ -462,7 +462,14 @@ class FeatureExtractor:
             try:
                 os.replace(tmp, base)
             except OSError:
-                if not os.path.isdir(base):
+                # accept a concurrent writer's published result only if it is
+                # complete: a half-deleted dir (rmtree partially failed) would
+                # otherwise pass a bare isdir check and poison later forced
+                # reads. listdir failing here (base missing/unreadable) also
+                # raises, surfacing the replace failure with context.
+                have = set(os.listdir(base))
+                want = {key + ".npy" for key in arrays}
+                if not want <= have:
                     raise
         finally:
             shutil.rmtree(tmp, ignore_errors=True)

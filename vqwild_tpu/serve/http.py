@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import io
 import json
+import zipfile
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -30,6 +31,18 @@ from vqwild_tpu.core.logging import get_logger
 from vqwild_tpu.serve.service import QueryService
 
 log = get_logger("serve.http")
+
+# exception classes that mean "the request body was malformed" → 400; anything
+# else is a server bug → 500. Neither response carries repr(e) — exception
+# messages can leak filesystem paths and internal config (full details go to
+# the server log instead).
+_BAD_REQUEST = (
+    ValueError,  # json decode errors subclass this; also bad array payloads
+    KeyError,  # missing "feature" / "y" / "uv"
+    TypeError,  # wrong JSON types (e.g. feature: "abc")
+    OSError,  # np.load on a non-npz body
+    zipfile.BadZipFile,  # truncated/corrupt npz
+)
 
 
 def make_server(service: QueryService, host: str = "127.0.0.1",
@@ -78,8 +91,15 @@ def make_server(service: QueryService, host: str = "127.0.0.1",
                 else:
                     self._send(404, {"error": "not found"})
                     return
-            except Exception as e:
-                self._send(400, {"error": repr(e)})
+            except _BAD_REQUEST as e:
+                # malformed payloads are the client's fault; report the error
+                # class only — messages can embed paths/shapes/config
+                log.warning("bad request on %s: %r", parsed.path, e)
+                self._send(400, {"error": f"bad request: {type(e).__name__}"})
+                return
+            except Exception:
+                log.exception("internal error on %s", parsed.path)
+                self._send(500, {"error": "internal error"})
                 return
             self._send(200, {"results": results})
 
