@@ -1,0 +1,169 @@
+"""Differential tests for the on-device moment engine.
+
+The device kernel (retrieval/moment_device.py) must reproduce the host
+postprocess (retrieval/moment.py::moment_query_metrics — itself differentially
+verified against upstream's multiprocessing worker in test_reference_e2e)
+decision-for-decision: greedy NMS tie order, grouped video order, the
+robust-mAP flip at the grouped-last valid item, R@N over grouped positions,
+and sklearn-tie AP.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from vqwild_tpu.retrieval.moment import moment_query_metrics  # noqa: E402
+from vqwild_tpu.retrieval.moment_device import (  # noqa: E402
+    DeviceMomentEngine,
+    _bucket_plan,
+)
+
+
+def _random_world(rng, n_videos, max_w=40, grid=True):
+    counts = rng.integers(1, max_w, n_videos)
+    vidx = np.repeat(np.arange(n_videos), counts)
+    starts, ends = [], []
+    for c in counts:
+        if grid:  # integer-second 5 s grid like enumerate_moment_windows
+            p = rng.integers(0, 40, c) * 5
+            length = rng.integers(1, 27, c) * 5
+        else:
+            p = rng.integers(0, 200, c)
+            length = rng.integers(1, 131, c)
+        starts.append(p)
+        ends.append(p + length)
+    s_sec = np.concatenate(starts).astype(np.float64)
+    e_sec = np.concatenate(ends).astype(np.float64)
+    g = len(vidx)
+    labels = np.array([rng.choice(["a", "b", "c", ""]) for _ in range(g)])
+    h_iou = np.where(labels == "", 0.0, rng.random(g))
+    # sprinkle exact boundary tIoUs to pin >= semantics
+    h_iou[rng.integers(0, g, max(1, g // 10))] = 0.5
+    return vidx, s_sec, e_sec, labels, h_iou
+
+
+def _compare(engine, scores, q_label_names, ig_lists, vidx, s_sec, e_sec,
+             labels, h_iou, r_at_n=(3, 5, 100), robust=True):
+    q_ids = [engine.label_id(l) for l in q_label_names]
+    ap_d, rec_d = engine.metrics(
+        jnp.asarray(scores), q_ids, ig_lists, r_at_n, robust
+    )
+    for qi, qname in enumerate(q_label_names):
+        iou_q = np.where(labels == qname, h_iou, 0.0)
+        ignore_q = np.isin(vidx, ig_lists[qi])
+        ap_h, rec_h = moment_query_metrics(
+            scores[qi], vidx, s_sec, e_sec, iou_q, ignore_q,
+            0.5, 0.5, r_at_n, robust,
+        )
+        assert ap_d[qi] == pytest.approx(ap_h, abs=2e-6), f"query {qi}"
+        # integer hit counts / f64 division on both sides: exact
+        np.testing.assert_allclose(rec_d[qi], rec_h, atol=1e-12)
+
+
+class TestDeviceMomentEngine:
+    def test_matches_host_postprocess_randomized(self):
+        rng = np.random.default_rng(7)
+        vidx, s_sec, e_sec, labels, h_iou = _random_world(rng, 17)
+        g = len(vidx)
+        engine = DeviceMomentEngine(
+            vidx, s_sec, e_sec, labels, h_iou, 17, chunk=12, max_ignore=4
+        )
+        q_names = ["a", "b", "c"] * 4
+        scores = rng.standard_normal((12, g)).astype(np.float32)
+        # exact score ties (tie-group AP + stable NMS order must both agree)
+        scores[0, :8] = 0.25
+        scores[5, 10:15] = scores[5, 9]
+        ig = [list(rng.choice(17, rng.integers(0, 4), replace=False))
+              for _ in range(12)]
+        _compare(engine, scores, q_names, ig, vidx, s_sec, e_sec, labels, h_iou)
+
+    def test_partial_chunk_and_no_robust(self):
+        rng = np.random.default_rng(3)
+        vidx, s_sec, e_sec, labels, h_iou = _random_world(rng, 9)
+        g = len(vidx)
+        engine = DeviceMomentEngine(
+            vidx, s_sec, e_sec, labels, h_iou, 9, chunk=8, max_ignore=4
+        )
+        scores = rng.standard_normal((3, g)).astype(np.float32)
+        q_names = ["a", "b", "a"]
+        ig = [[0], [], [2, 5]]
+        _compare(engine, scores, q_names, ig, vidx, s_sec, e_sec, labels,
+                 h_iou, robust=False)
+
+    def test_all_gallery_ignored_query(self):
+        """total_valid == 0 → ap 0, recalls 0 (host early-return parity)."""
+        rng = np.random.default_rng(1)
+        vidx, s_sec, e_sec, labels, h_iou = _random_world(rng, 4)
+        g = len(vidx)
+        engine = DeviceMomentEngine(
+            vidx, s_sec, e_sec, labels, h_iou, 4, chunk=4, max_ignore=4
+        )
+        scores = rng.standard_normal((1, g)).astype(np.float32)
+        _compare(engine, scores, ["a"], [[0, 1, 2, 3]], vidx, s_sec, e_sec,
+                 labels, h_iou)
+
+    def test_nongrid_geometry_still_matches(self):
+        """Arbitrary integer-second windows (not the 5 s grid)."""
+        rng = np.random.default_rng(11)
+        vidx, s_sec, e_sec, labels, h_iou = _random_world(rng, 11, grid=False)
+        g = len(vidx)
+        engine = DeviceMomentEngine(
+            vidx, s_sec, e_sec, labels, h_iou, 11, chunk=6, max_ignore=4
+        )
+        scores = rng.standard_normal((6, g)).astype(np.float32)
+        q_names = ["a", "c", "b", "a", "c", "b"]
+        ig = [[i] for i in range(6)]
+        _compare(engine, scores, q_names, ig, vidx, s_sec, e_sec, labels, h_iou)
+
+    def test_bucket_plan_covers_each_moment_once(self):
+        rng = np.random.default_rng(5)
+        counts = np.concatenate([[1, 16, 17, 40], rng.integers(1, 300, 20)])
+        vidx = np.repeat(np.arange(len(counts)), counts)
+        buckets = _bucket_plan(vidx, len(counts))
+        seen = np.concatenate([b["gather"].ravel() for b in buckets])
+        seen = seen[seen < len(vidx)]
+        assert sorted(seen.tolist()) == list(range(len(vidx)))
+        for b in buckets:
+            w = b["gather"].shape[1]
+            real = (b["gather"] < len(vidx)).sum(axis=1)
+            assert (real <= w).all() and (real >= 1).all()
+
+    def test_engine_selection_equality_through_evaluator(self, tmp_path):
+        """ARVRetrievalMoment(engine='device') ≡ engine='host' on a tiny
+        world, full metric dict."""
+        from tests.fixtures import build_tiny_arv
+
+        from vqwild_tpu.data.frames import SyntheticFrameStore
+        from vqwild_tpu.data.schema import load_moment_db
+        from vqwild_tpu.retrieval import ARVRetrievalMoment
+        from vqwild_tpu.retrieval.features import (
+            FeatureExtractor,
+            make_fake_feat_fn,
+        )
+
+        world = build_tiny_arv(str(tmp_path))
+        spec = world["spec"]
+        mdb = load_moment_db(world["moment_path"])
+
+        def mk(engine):
+            ex = FeatureExtractor(
+                make_fake_feat_fn(32, seed=3),
+                SyntheticFrameStore(),
+                test_frames=4,
+                test_batch_size=8,
+                input_size=16,
+                fake=True,
+            )
+            ev = ARVRetrievalMoment(
+                mdb, spec, ex, workers=2, engine=engine, rank_chunk=16
+            )
+            return ev.evaluation()["map05"]
+
+        dev = mk("device")
+        host = mk("host")
+        assert set(dev) == set(host)
+        for k, v in host.items():
+            if isinstance(v, float):
+                assert dev[k] == pytest.approx(v, abs=5e-6), k

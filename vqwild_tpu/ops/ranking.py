@@ -25,6 +25,40 @@ import jax
 import jax.numpy as jnp
 
 
+def ap_from_sorted(s_sorted, tp_ap, valid, nvalid):
+    """sklearn-tie average precision over a score-desc-sorted stream.
+
+    ``s_sorted`` [Q,G] scores sorted descending with invalid items pushed to
+    −inf (sorted last); ``tp_ap`` [Q,G] the positive labels *including any
+    robust-mAP flip, already masked to valid*; ``valid`` [Q,G] the sorted
+    validity mask; ``nvalid`` [Q,1] valid counts. Precision is evaluated per
+    distinct-score group at the group's last item and every tp in the group
+    is credited with that group precision — identical tie handling to
+    sklearn.average_precision_score / ops.metrics_np.average_precision.
+
+    Shared by the score-order evaluators (ranked_retrieval_metrics) and the
+    moment engine's grouped-order metrics (retrieval/moment_device.py),
+    whose flip element differs.
+    """
+    q, g = s_sorted.shape
+    idx = jnp.arange(g)[None, :]
+    npos_ap = jnp.sum(tp_ap, axis=1, keepdims=True)
+    cum_tp = jnp.cumsum(tp_ap, axis=1)
+    cnt = idx + 1  # within the valid prefix, count == position+1
+    precision = cum_tp / cnt
+    # distinct-score group boundaries (last item of each tie group)
+    nxt = jnp.concatenate(
+        [s_sorted[:, 1:], jnp.full((q, 1), -jnp.inf, s_sorted.dtype)], axis=1
+    )
+    boundary = valid & ((nxt != s_sorted) | (idx == nvalid - 1))
+    # each item's group-boundary index: reverse cumulative min of boundary idx
+    b_idx = jnp.where(boundary, idx, g - 1)
+    b_idx = jax.lax.associative_scan(jnp.minimum, b_idx, reverse=True, axis=1)
+    group_precision = jnp.take_along_axis(precision, b_idx, axis=1)
+    delta_recall = tp_ap / jnp.maximum(npos_ap, 1)
+    return jnp.sum(delta_recall * group_precision, axis=1)
+
+
 @functools.partial(
     jax.jit, static_argnames=("r_at_n", "robust", "topk", "full_rank")
 )
@@ -62,21 +96,7 @@ def ranked_retrieval_metrics(
     if robust:
         tp_ap = tp_ap | (idx == nvalid - 1)
     tp_ap = tp_ap & valid
-    npos_ap = jnp.sum(tp_ap, axis=1, keepdims=True)
-    cum_tp = jnp.cumsum(tp_ap, axis=1)
-    cnt = idx + 1  # within the valid prefix, count == position+1
-    precision = cum_tp / cnt
-    # distinct-score group boundaries (last item of each tie group)
-    nxt = jnp.concatenate(
-        [s_sorted[:, 1:], jnp.full((q, 1), -jnp.inf, s_sorted.dtype)], axis=1
-    )
-    boundary = valid & ((nxt != s_sorted) | (idx == nvalid - 1))
-    # each item's group-boundary index: reverse cumulative min of boundary idx
-    b_idx = jnp.where(boundary, idx, g - 1)
-    b_idx = jax.lax.associative_scan(jnp.minimum, b_idx, reverse=True, axis=1)
-    group_precision = jnp.take_along_axis(precision, b_idx, axis=1)
-    delta_recall = tp_ap / jnp.maximum(npos_ap, 1)
-    ap = jnp.sum(delta_recall * group_precision, axis=1)
+    ap = ap_from_sorted(s_sorted, tp_ap, valid, nvalid)
 
     # ---- R@N on the unmodified labels ----
     npos = jnp.sum(tp_sorted & valid, axis=1)

@@ -17,8 +17,16 @@ Faithfully-preserved upstream quirks:
   ones (:1283-1314 vs :386-402).
 
 The per-query postprocess replaces the reference's fork-based multiprocessing
-pool (cpu_count()//4 workers) with a thread pool over the numpy/C++ kernel
-(numpy releases the GIL; the native engine in vqwild_tpu/native goes further).
+pool (cpu_count()//4 workers) with one of three engines:
+
+* **device** (default): NMS + grouped-order metrics computed on the TPU
+  (retrieval/moment_device.py) — the [Q, ~10^6] score matrix never crosses
+  to the host; the readback is one AP + R@N row per query. This removed the
+  dominant production-scale cost (226 s of 334 s was score transfer in r3).
+* **native**: host postprocess in the C++ thread-pool engine
+  (vqwild_tpu/native) — used for mesh-sharded galleries.
+* **numpy threads**: pure-python fallback, also the diagnostics path (it is
+  the only engine that exposes the per-query kept stream for cm_dict).
 """
 
 from __future__ import annotations
@@ -176,6 +184,7 @@ class ARVRetrievalMoment:
         collect_diagnostics: bool = False,
         mesh=None,
         score_readback_dtype: str = "float32",
+        engine: str = "auto",
     ):
         self.extractor = extractor
         self.moment_clip_sec = moment_clip_sec
@@ -202,6 +211,15 @@ class ARVRetrievalMoment:
         if score_readback_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown score_readback_dtype {score_readback_dtype!r}")
         self.score_readback_dtype = score_readback_dtype
+        # postprocess engine: "device" keeps the [Q, G] scores on device and
+        # reads back only per-query scalars (retrieval/moment_device.py);
+        # "host" ships scores to the native-C++/numpy postprocess. "auto"
+        # picks device except when diagnostics need the per-query kept stream
+        # or the gallery is mesh-sharded (the host engines are the
+        # long-validated path for the multi-chip dryrun).
+        if engine not in ("auto", "device", "host"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self.engine = engine
         self.possible_classes = set(spec.possible_classes("testing"))
         self.queries: List[VideoRecord] = db.nonnoise_queries()
         self.gallery_videos: List[VideoRecord] = db.gallery
@@ -283,6 +301,77 @@ class ARVRetrievalMoment:
         )
         return out
 
+    def _evaluation_device(
+        self, queries, q_feats_all, feats, vidx, s_sec, e_sec, h_label, h_iou
+    ) -> dict:
+        """Device-engine ranking: scores never leave the device; per chunk the
+        readback is one AP + R@N row per query (retrieval/moment_device.py).
+        Metric-equal to the host postprocess (tested differentially and
+        through the reference e2e fixtures)."""
+        from vqwild_tpu.retrieval.moment_device import DeviceMomentEngine
+
+        with _phase(self.timings, "engine_build"):
+            engine = DeviceMomentEngine(
+                vidx,
+                s_sec,
+                e_sec,
+                h_label,
+                h_iou,
+                len(self.gallery_videos),
+                nms_threshold=self.nms_threshold,
+                tiou_threshold=self.tiou_threshold,
+                chunk=min(self.rank_chunk, 32),
+                max_ignore=max(8, 1 + self.multi_query_extra),
+            )
+        video_id_to_idx = {v.video_id: i for i, v in enumerate(self.gallery_videos)}
+        expanded = generate_multi_query(
+            list(range(len(queries))),
+            label_of=lambda i: queries[i].label,
+            video_id_of=lambda i: queries[i].video_id,
+            extras=self.multi_query_extra,
+        )
+        log.info(
+            "moment ranking (device engine): %d queries x %d moments",
+            len(expanded),
+            len(feats),
+        )
+        agg = MetricAggregator(self.r_at_n)
+        agg.set_class_info(
+            [(queries[qs[0]].label, queries[qs[0]].retrieval_type) for qs in expanded]
+        )
+        with _phase(self.timings, "gallery_to_device"):
+            scorer = GalleryScorer(feats, mesh=self.mesh)
+            jax.block_until_ready(scorer.g_dev)
+        for cstart in range(0, len(expanded), engine.chunk):
+            batch = expanded[cstart : cstart + engine.chunk]
+            qf = np.stack(
+                [
+                    np.mean([q_feats_all[i] for i in qs[: self.query_num]], axis=0)
+                    for qs in batch
+                ]
+            )
+            q_labels = [engine.label_id(queries[qs[0]].label) for qs in batch]
+            ignore_vids = [
+                [
+                    video_id_to_idx[queries[qi].video_id]
+                    for qi in qs
+                    if queries[qi].video_id in video_id_to_idx
+                ]
+                for qs in batch
+            ]
+            with _phase(self.timings, "score_device"):
+                dev_scores = scorer.scores(qf)
+            with _phase(self.timings, "metrics_device"):
+                aps, recalls = engine.metrics(
+                    dev_scores, q_labels, ignore_vids, self.r_at_n, self.robust_map
+                )
+            for bi, qs in enumerate(batch):
+                q = queries[qs[0]]
+                agg.add(
+                    q.label, q.retrieval_type, float(aps[bi]), recalls[bi].tolist()
+                )
+        return {"map05": agg.result()}
+
     def evaluation(self) -> dict:
         with _phase(self.timings, "query_feats"):
             q_feats_all = self.extractor.extract_trimmed(self.queries)
@@ -293,6 +382,17 @@ class ARVRetrievalMoment:
 
         feats, vidx, s_sec, e_sec, h_label, h_iou = self.build_gallery()
         gal_video_ids = np.array([self.gallery_videos[v].video_id for v in vidx])
+
+        use_device = self.engine == "device" or (
+            self.engine == "auto"
+            and not self.collect_diagnostics
+            and self.mesh is None
+            and len(feats) > 0
+        )
+        if use_device:
+            return self._evaluation_device(
+                queries, q_feats_all, feats, vidx, s_sec, e_sec, h_label, h_iou
+            )
 
         try:
             from vqwild_tpu.native import lib as native_lib

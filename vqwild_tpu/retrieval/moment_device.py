@@ -1,0 +1,346 @@
+"""On-device moment-retrieval metrics: NMS + grouped-order AP/R@N on the TPU.
+
+The host postprocess (retrieval/moment.py::moment_query_metrics, mirroring
+dataloader_baseline.py:1236-1330) needs the full ``[Q, ~10^6-moment]`` score
+matrix on the host — 226 s of a 334 s production-scale run went to that
+device→host transfer alone (benchmarks/EVAL_SCALE_r03_tpu_moment.json). This
+module keeps the scores on device and reads back only per-query scalars
+(AP + R@N), making the transfer cost independent of gallery size.
+
+Exactness. Every decision the reference makes is reproduced bit-for-bit:
+
+* **greedy NMS per video** (+1 length convention, suppress at iou ≥ thresh,
+  score-desc/index-asc tie order): window boundaries are integer seconds on
+  the 5 s grid, so intersections/unions are small exact-in-f32 integers and
+  the iou test is rearranged division-free as
+  ``inter·(1+t) ≥ t·(len_i+len_j)`` — exact for t with a short mantissa
+  (0.5 in practice). Greedy order is obtained by sorting each video's
+  members once (stable, so ties fall back to ascending global index exactly
+  like ``np.argsort(-scores, kind="stable")``), then a `fori_loop` over
+  sorted slots: slot i suppresses later overlapping slots iff it is itself
+  unsuppressed — the textbook sequential greedy, vectorized over
+  [Q, videos, W].
+* **grouped order** (videos by their best *pre-NMS* moment's global rank,
+  members by score within a video, dataloader:1283-1309): reconstructed
+  without a global sort — videos are ordered by (best score desc, best
+  member's global index asc) via two stable argsorts over the [Q, V] video
+  axis, and a member's grouped position is the exclusive cumsum of valid
+  members over ordered videos plus its within-video exclusive cumsum.
+* **robust-mAP flip** at the grouped-order-last valid item and **R@N over
+  grouped positions** follow directly from the grouped positions.
+* **AP** is one masked global sort + the shared sklearn-tie kernel
+  (ops/ranking.ap_from_sorted).
+
+Videos are bucketed by moment count (W) into a few padded [Q, V_bucket, W]
+tensors so the sequential NMS scan length matches each video's size instead
+of the global maximum; all bucket bookkeeping is static per evaluation, so
+each query chunk is a single compiled program whose inputs are the query
+features and two small int32 arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqwild_tpu.core.logging import get_logger
+from vqwild_tpu.ops.ranking import ap_from_sorted
+
+log = get_logger("retrieval.moment_device")
+
+# bucket pad widths: ~1.33x steps keep padding waste low while bounding the
+# number of compiled NMS loops (one per non-empty bucket)
+_BUCKET_WIDTHS = (
+    16, 32, 48, 64, 96, 128, 192, 256, 384, 512,
+    768, 1024, 1536, 2048, 3072, 4096, 8192, 16384,
+)
+
+
+def _bucket_plan(vidx: np.ndarray, n_videos: int):
+    """Group videos by member count into padded buckets.
+
+    ``vidx`` [G] must be contiguous per video (build_gallery's layout).
+    Returns a list of dicts with static per-bucket arrays:
+      gather [Vb, W] int64 moment index (pad = G), vglob [Vb] video index.
+    """
+    counts = np.bincount(vidx, minlength=n_videos)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    buckets = []
+    for lo, hi in zip((0,) + _BUCKET_WIDTHS, _BUCKET_WIDTHS):
+        vids = np.where((counts > lo) & (counts <= hi))[0]
+        if len(vids) == 0:
+            continue
+        gather = np.full((len(vids), hi), len(vidx), np.int64)
+        for r, v in enumerate(vids):
+            gather[r, : counts[v]] = np.arange(offsets[v], offsets[v + 1])
+        buckets.append(dict(w=hi, gather=gather, vglob=vids.astype(np.int32)))
+    widest = max((c for c in counts), default=0)
+    if widest > _BUCKET_WIDTHS[-1]:
+        raise ValueError(
+            f"a video has {widest} moments > max bucket {_BUCKET_WIDTHS[-1]}"
+        )
+    return buckets
+
+
+def _nms_sorted(ss, st, en, thresh: float):
+    """Greedy temporal NMS over score-sorted members.
+
+    ss/st/en [Q, Vb, W] sorted by score desc (pads: ss=-inf). Returns the
+    kept mask in sorted order. +1 length convention; suppress iff iou ≥ t,
+    computed division-free (exact for integer-second geometry)."""
+    w = ss.shape[-1]
+    lens = en - st + 1.0
+    real = ss > -jnp.inf
+    iota = jnp.arange(w)
+
+    def body(i, supp):
+        cs = jax.lax.dynamic_slice_in_dim(st, i, 1, axis=2)
+        ce = jax.lax.dynamic_slice_in_dim(en, i, 1, axis=2)
+        li = jax.lax.dynamic_slice_in_dim(lens, i, 1, axis=2)
+        active = ~jax.lax.dynamic_slice_in_dim(supp, i, 1, axis=2)
+        inter = jnp.maximum(0.0, jnp.minimum(ce, en) - jnp.maximum(cs, st) + 1.0)
+        hit = inter * (1.0 + thresh) >= thresh * (li + lens)
+        return supp | (hit & active & (iota[None, None, :] > i))
+
+    supp = jax.lax.fori_loop(0, w, body, ~real)
+    return ~supp & real
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_moments",
+        "nms_threshold",
+        "tp_when_no_match",
+        "r_at_n",
+        "robust",
+    ),
+)
+def _chunk_metrics(
+    scores,
+    q_label,
+    ignore_vids,
+    buckets,
+    n_moments,
+    nms_threshold,
+    tp_when_no_match,
+    r_at_n,
+    robust,
+):
+    """One query chunk → (ap [Q], recalls [Q, len(r_at_n)], npos [Q]).
+
+    ``buckets``: tuple of dicts of device-resident gallery constants (traced
+    pytree args — shapes are static, the 10⁷ elements are not baked into the
+    HLO). scores [Q, >=G] f32 (extra padded columns ignored), q_label [Q]
+    int32, ignore_vids [Q, I] int32 gallery video indices (-1 pads).
+    """
+    q = scores.shape[0]
+    g = n_moments
+    s_ext = jnp.concatenate(
+        [
+            jax.lax.slice(scores, (0, 0), (q, g)),
+            jnp.full((q, 1), -jnp.inf, scores.dtype),
+        ],
+        axis=1,
+    )
+
+    per_bucket = []
+    vbest_score, vbest_idx = [], []
+    for b in buckets:
+        sb = jnp.take(s_ext, b["gather"], axis=1)  # [Q, Vb, W]
+        vb, w = b["gather"].shape
+        bcast = lambda a: jnp.broadcast_to(a[None], (q, vb, w))
+        key, stt, enn, lab, hit, gidx = jax.lax.sort(
+            (
+                -sb,
+                bcast(b["starts"]),
+                bcast(b["ends"]),
+                bcast(b["labels"]),
+                bcast(b["hit_ok"]),
+                bcast(b["gather"]),
+            ),
+            dimension=2,
+            is_stable=True,
+            num_keys=1,
+        )
+        ss = -key
+        kept = _nms_sorted(ss, stt, enn, nms_threshold)
+        igb = jnp.any(
+            b["vglob"][None, :, None] == ignore_vids[:, None, :], axis=-1
+        )  # [Q, Vb]
+        validkept = kept & ~igb[:, :, None]
+        tp = jnp.where(
+            lab == q_label[:, None, None], hit, tp_when_no_match
+        )
+        within = jnp.cumsum(validkept, axis=2, dtype=jnp.int32) - validkept
+        per_bucket.append(dict(ss=ss, tp=tp, validkept=validkept, within=within))
+        vbest_score.append(ss[:, :, 0])
+        vbest_idx.append(gidx[:, :, 0])
+
+    # ---- cross-video grouped order (videos in bucket-concatenated axis) ----
+    bs = jnp.concatenate(vbest_score, axis=1)  # [Q, V]
+    bi = jnp.concatenate(vbest_idx, axis=1)
+    nv = jnp.concatenate(
+        [pb["validkept"].sum(axis=2, dtype=jnp.int32) for pb in per_bucket], axis=1
+    )
+    # videos by (best score desc, best member global index asc): compose two
+    # stable argsorts (radix over the lexicographic key)
+    perm1 = jnp.argsort(bi, axis=1, stable=True)
+    key2 = jnp.take_along_axis(-bs, perm1, axis=1)
+    perm2 = jnp.argsort(key2, axis=1, stable=True)
+    vorder = jnp.take_along_axis(perm1, perm2, axis=1)
+    nv_ord = jnp.take_along_axis(nv, vorder, axis=1)
+    base_ord = jnp.cumsum(nv_ord, axis=1) - nv_ord  # exclusive
+    inv = jnp.argsort(vorder, axis=1, stable=True)  # inverse permutation
+    base = jnp.take_along_axis(base_ord, inv, axis=1)  # [Q, V] per concat-video
+    total_valid = nv.sum(axis=1)  # [Q]
+
+    # ---- per-moment grouped positions, R@N, flip, AP inputs ----
+    npos = jnp.zeros((q,), jnp.int32)
+    rhits = [jnp.zeros((q,), jnp.int32) for _ in r_at_n]
+    ap_scores, ap_tp = [], []
+    voff = 0
+    for pb in per_bucket:
+        vb = pb["ss"].shape[1]
+        base_b = jax.lax.slice(base, (0, voff), (q, voff + vb))
+        voff += vb
+        gpos = base_b[:, :, None] + pb["within"]
+        vk = pb["validkept"]
+        tpv = pb["tp"] & vk
+        npos += tpv.sum(axis=(1, 2), dtype=jnp.int32)
+        for k, n in enumerate(r_at_n):
+            rhits[k] += (tpv & (gpos < n)).sum(axis=(1, 2), dtype=jnp.int32)
+        tp_ap = tpv
+        if robust:
+            tp_ap = tp_ap | (vk & (gpos == (total_valid[:, None, None] - 1)))
+        ap_scores.append(jnp.where(vk, pb["ss"], -jnp.inf).reshape(q, -1))
+        ap_tp.append(tp_ap.reshape(q, -1))
+
+    s_m = jnp.concatenate(ap_scores, axis=1)
+    t_m = jnp.concatenate(ap_tp, axis=1)
+    key, tp_sorted = jax.lax.sort((-s_m, t_m), dimension=1, is_stable=True, num_keys=1)
+    s_sorted = -key
+    valid_sorted = s_sorted > -jnp.inf
+    ap = ap_from_sorted(s_sorted, tp_sorted & valid_sorted, valid_sorted,
+                        total_valid[:, None])
+    # recalls divide on the host in f64 (exact integer numerators here)
+    return ap, jnp.stack(rhits, axis=1), npos
+
+
+class DeviceMomentEngine:
+    """Per-evaluation device state + chunked metric computation.
+
+    Parameters mirror the host postprocess inputs (retrieval/moment.py):
+    window geometry/hit labels are the build_gallery outputs; ``tiou`` is
+    applied HERE on the host in float64 (the device only ever sees the
+    boolean), so tp thresholds are bit-identical to the host path.
+    """
+
+    def __init__(
+        self,
+        vidx: np.ndarray,
+        start_sec: np.ndarray,
+        end_sec: np.ndarray,
+        hit_label: np.ndarray,
+        hit_iou: np.ndarray,
+        n_videos: int,
+        *,
+        nms_threshold: float = 0.5,
+        tiou_threshold: float = 0.5,
+        chunk: int = 32,
+        max_ignore: int = 8,
+    ):
+        self.n_moments = len(vidx)
+        self.chunk = chunk
+        self.max_ignore = max_ignore
+        vidx = np.asarray(vidx, np.int64)
+        # label vocabulary: gallery hit labels now, query labels on demand
+        self._label_ids = {"": -1}
+        labs = np.empty(self.n_moments, np.int32)
+        for i, lab in enumerate(hit_label):
+            labs[i] = self._label_ids.setdefault(str(lab), len(self._label_ids))
+        hit_ok = np.asarray(hit_iou, np.float64) >= tiou_threshold
+        buckets = []
+        for b in _bucket_plan(vidx, n_videos):
+            gi = b["gather"]
+            pad = gi == self.n_moments
+            starts = np.where(pad, 0.0, np.asarray(start_sec, np.float64)[
+                np.minimum(gi, self.n_moments - 1)
+            ]).astype(np.float32)
+            ends = np.where(pad, -1.0, np.asarray(end_sec, np.float64)[
+                np.minimum(gi, self.n_moments - 1)
+            ]).astype(np.float32)
+            labels = np.where(pad, -1, labs[np.minimum(gi, self.n_moments - 1)])
+            hok = np.where(pad, False, hit_ok[np.minimum(gi, self.n_moments - 1)])
+            buckets.append(
+                dict(
+                    gather=jnp.asarray(gi.astype(np.int32)),
+                    vglob=jnp.asarray(b["vglob"]),
+                    starts=jnp.asarray(starts),
+                    ends=jnp.asarray(ends),
+                    labels=jnp.asarray(labels.astype(np.int32)),
+                    hit_ok=jnp.asarray(hok),
+                )
+            )
+        self._buckets = tuple(buckets)
+        self._nms_threshold = float(nms_threshold)
+        # upstream: iou_q = where(label match, hit_iou, 0.0); tp = iou_q >= t
+        self._tp_when_no_match = bool(0.0 >= tiou_threshold)
+        log.info(
+            "device moment engine: %d moments, %d videos, %d buckets (padded %d)",
+            self.n_moments,
+            n_videos,
+            len(buckets),
+            sum(int(b["gather"].shape[0] * b["gather"].shape[1]) for b in buckets),
+        )
+
+    def label_id(self, label: str) -> int:
+        return self._label_ids.setdefault(str(label), len(self._label_ids))
+
+    def metrics(
+        self,
+        scores,
+        q_labels: Sequence[int],
+        ignore_vids: List[List[int]],
+        r_at_n: Tuple[int, ...],
+        robust: bool,
+    ):
+        """scores: device [B, >=G] f32 (a GalleryScorer output); q_labels [B]
+        int ids; ignore_vids: per-query gallery-video index lists.
+        → (ap [B] f64, recalls [B, len(r_at_n)] f64). Pads the chunk to the
+        engine's fixed chunk size so every call hits one compiled program.
+        """
+        b = scores.shape[0]
+        assert b <= self.chunk, (b, self.chunk)
+        ql = np.full(self.chunk, -1, np.int32)
+        ql[:b] = np.asarray(q_labels, np.int32)
+        ig = np.full((self.chunk, self.max_ignore), -1, np.int32)
+        for i, vids in enumerate(ignore_vids):
+            if len(vids) > self.max_ignore:
+                raise ValueError(f"{len(vids)} ignore videos > {self.max_ignore}")
+            ig[i, : len(vids)] = vids
+        if b < self.chunk:
+            pad = jnp.full(
+                (self.chunk - b, scores.shape[1]), 0.0, scores.dtype
+            )
+            scores = jnp.concatenate([scores, pad], axis=0)
+        ap, rhits, npos = _chunk_metrics(
+            scores,
+            jnp.asarray(ql),
+            jnp.asarray(ig),
+            self._buckets,
+            n_moments=self.n_moments,
+            nms_threshold=self._nms_threshold,
+            tp_when_no_match=self._tp_when_no_match,
+            r_at_n=tuple(r_at_n),
+            robust=bool(robust),
+        )
+        ap = np.asarray(ap, np.float64)[:b]
+        # identical arithmetic to the host path: npos = tp.sum() + 1e-10 (f64)
+        npos = np.asarray(npos, np.float64)[:b] + 1e-10
+        recalls = np.asarray(rhits, np.float64)[:b] / npos[:, None]
+        return ap, recalls
