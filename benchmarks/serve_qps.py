@@ -35,7 +35,12 @@ def main():
     ap.add_argument("--json_out", default="", help="write the measured numbers")
     args = ap.parse_args()
 
-    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    from vqwild_tpu.core.hostsig import host_cpu_signature
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(REPO, ".jax_cache", f"host-{host_cpu_signature()}"),
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from vqwild_tpu.serve.index import GalleryIndex

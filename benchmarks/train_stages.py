@@ -51,7 +51,12 @@ def main():
     variants = sys.argv[1:] or ["fwd_eval", "fwd", "fwd_bwd", "full", "scan16"]
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    from vqwild_tpu.core.hostsig import host_cpu_signature
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(REPO, ".jax_cache", f"host-{host_cpu_signature()}"),
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if "cpu" not in (os.environ.get("JAX_PLATFORMS") or ""):
         jax.config.update(
