@@ -108,6 +108,85 @@ def test_annotations_match_rendered_schedule(world):
     )
 
 
+@pytest.fixture(scope="module")
+def semworld(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("semworld"))
+    return build_synth_world(
+        root, n_base=6, n_val=2, n_test=2, train_per_base=4, embed_dim=16,
+        semantic=True, latent_dim=4, family_size=2, sibling_eps=0.3,
+    )
+
+
+def test_semantic_world_word_embeds_mirror_latents(semworld):
+    """The vasa coupling: word-embed geometry == generative-latent geometry
+    (semantic_word_embeddings lifts latents through an orthonormal Q)."""
+    with open(semworld["semantics_path"]) as f:
+        sem = json.load(f)
+    lat = np.asarray(sem["latents"])
+    with open(semworld["embed_path"]) as f:
+        emb = json.load(f)
+    W = np.asarray([emb[lab] for lab in semworld["labels"]])
+    np.testing.assert_allclose(W @ W.T, lat @ lat.T, atol=1e-9)
+    assert W.shape == (semworld["nclass"], semworld["embed_dim"])
+
+
+def test_semantic_store_discovery_and_determinism(semworld):
+    from vqwild_tpu.data.frames import load_synth_semantics, make_frame_store
+
+    sem = load_synth_semantics(
+        os.path.join(semworld["root"], "nonexistent_frames_subdir")
+    )
+    assert sem is not None and sem["latent_dim"] == 4
+    st = make_frame_store("synthetic_class", semworld["root"])
+    assert st.semantics is not None
+    idx = np.arange(1, 9)
+    a = st.read_frames("training", "sc003_00001", idx)
+    b = make_frame_store("synthetic_class", semworld["root"]).read_frames(
+        "training", "sc003_00001", idx
+    )
+    np.testing.assert_array_equal(a, b)
+    # semantic textures differ from the legacy (uncoupled) renderer's
+    legacy = ClassSyntheticFrameStore().read_frames(
+        "training", "sc003_00001", idx
+    )
+    assert (a != legacy).mean() > 0.2
+
+
+def test_semantic_siblings_are_confusable(semworld):
+    """Novel siblings (shared family center) must be visually closer than
+    cross-family classes — the ambiguity that breaks baseline saturation."""
+    with open(semworld["semantics_path"]) as f:
+        sem = json.load(f)
+    st = ClassSyntheticFrameStore(semantics=sem)
+    # classes 6,7 = first novel family; 8,9 = second (family_size=2)
+    fams = sem["novel_family"]
+    assert fams["6"] == fams["7"] and fams["8"] == fams["9"]
+    assert fams["6"] != fams["8"]
+
+    def loop_energy(cls):
+        return st._class_loop(cls).astype(np.float32)
+
+    sib = np.abs(loop_energy(6) - loop_energy(7)).mean()
+    cross = np.abs(loop_energy(6) - loop_energy(8)).mean()
+    assert sib < 0.7 * cross, (sib, cross)
+    # latent geometry predicts the same ordering
+    lat = np.asarray(sem["latents"])
+    assert lat[6] @ lat[7] > lat[6] @ lat[8]
+
+
+def test_legacy_world_unchanged_without_semantics(world):
+    """No synth_semantics.json → the legacy renderer, byte-identical."""
+    from vqwild_tpu.data.frames import make_frame_store
+
+    st = make_frame_store("synthetic_class", world["root"])
+    assert st.semantics is None
+    idx = np.arange(1, 5)
+    np.testing.assert_array_equal(
+        st.read_frames("training", "sc001_00001", idx),
+        ClassSyntheticFrameStore().read_frames("training", "sc001_00001", idx),
+    )
+
+
 def test_cli_accepts_split_file(world):
     from vqwild_tpu.apps.cli import parse
 

@@ -389,15 +389,44 @@ class ClassSyntheticFrameStore(FrameStore):
 
     LOOP = 16  # temporal loop length of the class texture
 
-    def __init__(self, h: int = FRAME_H, w: int = FRAME_W):
+    def __init__(self, h: int = FRAME_H, w: int = FRAME_W,
+                 semantics: dict | None = None):
         self.h, self.w = h, w
+        self.semantics = semantics
+        if semantics is not None:
+            self.LOOP = int(semantics.get("loop", self.LOOP))
         self._loops: Dict[int, np.ndarray] = {}
         self._noise: Dict[str, tuple] = {}
 
     # -- deterministic ingredients ------------------------------------
+    def _semantic_loop(self, cls: int) -> np.ndarray:
+        """Texture linear in the class latent over the shared atom bank
+        (datagen/synthworld.py:build_semantics — the coupled world where
+        word-embedding geometry equals visual-generative geometry)."""
+        sem = self.semantics
+        s = np.asarray(sem["latents"][cls], np.float32)
+        amp = float(sem["texture_amp"])
+        yy = np.arange(self.h, dtype=np.float32)[None, :, None, None]
+        xx = np.arange(self.w, dtype=np.float32)[None, None, :, None]
+        tt = np.arange(self.LOOP, dtype=np.float32)[:, None, None, None]
+        acc = np.zeros((self.LOOP, self.h, self.w, FRAME_C), np.float32)
+        for j, atom in enumerate(sem["atoms"]):
+            phase = np.asarray(atom["phase"], np.float32)
+            acc += (amp * s[j]) * np.sin(
+                2 * np.pi
+                * (atom["fy"] * yy + atom["fx"] * xx
+                   + atom["vel"] * tt / self.LOOP)
+                + phase[None, None, None, :]
+            )
+        return np.clip(acc, -127, 127).astype(np.int16)
+
     def _class_loop(self, cls: int) -> np.ndarray:
         loop = self._loops.get(cls)
         if loop is None:
+            if self.semantics is not None:
+                loop = self._semantic_loop(cls)
+                self._loops[cls] = loop
+                return loop
             rng = np.random.default_rng(1_000_003 + cls)
             yy = np.arange(self.h, dtype=np.float32)[None, :, None, None]
             xx = np.arange(self.w, dtype=np.float32)[None, None, :, None]
@@ -479,6 +508,19 @@ class ClassSyntheticFrameStore(FrameStore):
         return np.clip(out + 128 + p["bright"], 0, 255).astype(np.uint8)
 
 
+def load_synth_semantics(frames_dir: str) -> Optional[dict]:
+    """Find synth_semantics.json beside the frames dir (or its parent, the
+    data root — the CLI defaults frames_dir to a subdir of data_root)."""
+    for d in (frames_dir, os.path.dirname(frames_dir)):
+        if not d:
+            continue
+        path = os.path.join(d, "synth_semantics.json")
+        if os.path.isfile(path):
+            with open(path) as f:
+                return json.load(f)
+    return None
+
+
 def make_frame_store(kind: str, frames_dir: str) -> FrameStore:
     if kind == "jpeg":
         return JpegDirFrameStore(frames_dir)
@@ -489,5 +531,7 @@ def make_frame_store(kind: str, frames_dir: str) -> FrameStore:
     if kind == "synthetic":
         return SyntheticFrameStore()
     if kind == "synthetic_class":
-        return ClassSyntheticFrameStore()
+        return ClassSyntheticFrameStore(
+            semantics=load_synth_semantics(frames_dir)
+        )
     raise ValueError(f"unknown frame store kind: {kind!r}")

@@ -74,6 +74,15 @@ def main(argv=None):
     s6.add_argument("--train_per_base", type=int, default=12)
     s6.add_argument("--embed_dim", type=int, default=64)
     s6.add_argument("--seed", type=int, default=0)
+    s6.add_argument("--semantic", action="store_true",
+                    help="semantically coupled world: textures linear in a "
+                         "class latent, word embeds = orthonormal image of "
+                         "the same latent, novel classes in sibling "
+                         "families (synthworld.py:build_semantics)")
+    s6.add_argument("--latent_dim", type=int, default=8)
+    s6.add_argument("--family_size", type=int, default=2)
+    s6.add_argument("--sibling_eps", type=float, default=0.35)
+    s6.add_argument("--texture_amp", type=float, default=16.0)
 
     args = p.parse_args(argv)
 
@@ -166,6 +175,11 @@ def main(argv=None):
             train_per_base=args.train_per_base,
             embed_dim=args.embed_dim,
             seed=args.seed,
+            semantic=args.semantic,
+            latent_dim=args.latent_dim,
+            family_size=args.family_size,
+            sibling_eps=args.sibling_eps,
+            texture_amp=args.texture_amp,
         )
         print(
             f"synth world: {info['nclass']} classes, gallery="
