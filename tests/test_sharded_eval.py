@@ -76,6 +76,89 @@ class TestShardedEvaluators:
         assert abs(r0["map05"]["ap"] - r1["map05"]["ap"]) < 1e-6
 
 
+class TestFusedChunkMetrics:
+    """The id-based fused chunk path (device-built tp/ignore masks + device
+    query gather) must be bit-identical to the host-mask path it replaces —
+    per-chunk traffic drops from two [Q,G] bool masks to a few KB of i32."""
+
+    def _world(self, seed=0, n=41, d=16, b=7, k_src=3, qn=2):
+        import jax.numpy as jnp
+
+        from vqwild_tpu.ops.ranking import ranked_retrieval_metrics
+
+        rng = np.random.default_rng(seed)
+        g = rng.normal(size=(n, d)).astype(np.float32)
+        # quantize features so ties occur and exercise the tie-group AP path
+        g = np.round(g * 2) / 2
+        labels = rng.integers(0, 5, n).astype(np.int32)
+        vids = rng.integers(0, 11, n).astype(np.int32)
+        q_rows = np.full((b, qn), -1, np.int32)
+        q_src = np.full((b, k_src), -2, np.int32)
+        q_lab = np.empty(b, np.int32)
+        for bi in range(b):
+            nsel = int(rng.integers(1, qn + 1))  # short query lists too
+            rows = rng.choice(n, size=nsel, replace=False)
+            q_rows[bi, :nsel] = rows
+            q_lab[bi] = labels[rows[0]]
+            nsrc = int(rng.integers(1, k_src + 1))
+            q_src[bi, :nsrc] = rng.choice(11, size=nsrc, replace=False)
+        # host reference: masks + explicit query means
+        qf = np.stack(
+            [
+                np.mean([g[i] for i in q_rows[bi] if i >= 0], axis=0)
+                for bi in range(b)
+            ]
+        )
+        tp = labels[None, :] == q_lab[:, None]
+        ignore = np.zeros((b, n), bool)
+        for bi in range(b):
+            ignore[bi] = np.isin(vids, q_src[bi][q_src[bi] >= 0])
+        scores = np.asarray(GalleryScorer(g).scores(qf))
+        ref = ranked_retrieval_metrics(
+            jnp.asarray(scores),
+            jnp.asarray(tp),
+            jnp.asarray(ignore),
+            r_at_n=(3, 5),
+        )
+        return g, labels, vids, q_rows, q_lab, q_src, ref
+
+    def _check(self, mesh, exact=True):
+        g, labels, vids, q_rows, q_lab, q_src, ref = self._world()
+        sc = GalleryScorer(g, mesh=mesh)
+        sc.set_columns(labels, vids)
+        sc.set_query_bank(None)
+        out = sc.chunk_metrics(q_rows, q_lab, q_src, r_at_n=(3, 5))
+        if exact:
+            np.testing.assert_array_equal(
+                np.asarray(ref["ap"]), np.asarray(out["ap"])
+            )
+        else:
+            # sharded matmul partial-sum order perturbs scores in the last
+            # ulp (same as the pre-existing sharded scores path, tested to
+            # 1e-5 above); metrics follow within float noise
+            np.testing.assert_allclose(
+                np.asarray(ref["ap"]), np.asarray(out["ap"]), atol=1e-6
+            )
+        np.testing.assert_array_equal(
+            np.asarray(ref["recalls"]), np.asarray(out["recalls"])
+        )
+        np.testing.assert_array_equal(np.asarray(ref["npos"]), np.asarray(out["npos"]))
+
+    def test_single_device(self):
+        self._check(mesh=None)
+
+    def test_mesh(self):
+        self._check(mesh=make_mesh(), exact=False)
+
+    def test_separate_query_bank(self):
+        g, labels, vids, q_rows, q_lab, q_src, ref = self._world()
+        sc = GalleryScorer(g)
+        sc.set_columns(labels, vids)
+        sc.set_query_bank(g.copy())  # same numerics through the bank path
+        out = sc.chunk_metrics(q_rows, q_lab, q_src, r_at_n=(3, 5))
+        np.testing.assert_array_equal(np.asarray(ref["ap"]), np.asarray(out["ap"]))
+
+
 class TestDistributedInit:
     def test_single_process_noop(self):
         from vqwild_tpu.parallel.distributed import initialize

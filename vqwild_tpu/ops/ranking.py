@@ -59,28 +59,16 @@ def ap_from_sorted(s_sorted, tp_ap, valid, nvalid):
     return jnp.sum(delta_recall * group_precision, axis=1)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("r_at_n", "robust", "topk", "full_rank")
-)
-def ranked_retrieval_metrics(
+def _metrics_from_masks(
     scores,
     tp,
     ignore,
-    r_at_n: Tuple[int, ...] = (30, 50, 100),
-    robust: bool = True,
-    topk: int = 0,
-    full_rank: bool = False,
+    r_at_n: Tuple[int, ...],
+    robust: bool,
+    topk: int,
+    full_rank: bool,
 ):
-    """scores [Q,G] f32; tp/ignore [Q,G] bool →
-    dict(ap [Q], recalls [Q,len(r_at_n)], npos [Q], top_idx [Q,topk]?).
-
-    ``full_rank`` additionally returns the sorted per-query stream —
-    tp_sorted/scores_sorted [Q,G] (pre-robust labels) and nvalid [Q] — for
-    the system_ap_dict diagnostics dump (dataloader_baseline.py:448-456).
-
-    Sorting is stable descending, so ties keep gallery order (FAISS likewise
-    returns ties in index order).
-    """
+    """Shared metric core; see ranked_retrieval_metrics for the contract."""
     q, g = scores.shape
     s = jnp.where(ignore, -jnp.inf, scores.astype(jnp.float32))
     order = jnp.argsort(-s, axis=1, stable=True)
@@ -116,3 +104,111 @@ def ranked_retrieval_metrics(
         out["scores_sorted"] = s_sorted
         out["nvalid"] = nvalid[:, 0]
     return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r_at_n", "robust", "topk", "full_rank")
+)
+def ranked_retrieval_metrics(
+    scores,
+    tp,
+    ignore,
+    r_at_n: Tuple[int, ...] = (30, 50, 100),
+    robust: bool = True,
+    topk: int = 0,
+    full_rank: bool = False,
+):
+    """scores [Q,G] f32; tp/ignore [Q,G] bool →
+    dict(ap [Q], recalls [Q,len(r_at_n)], npos [Q], top_idx [Q,topk]?).
+
+    ``full_rank`` additionally returns the sorted per-query stream —
+    tp_sorted/scores_sorted [Q,G] (pre-robust labels) and nvalid [Q] — for
+    the system_ap_dict diagnostics dump (dataloader_baseline.py:448-456).
+
+    Sorting is stable descending, so ties keep gallery order (FAISS likewise
+    returns ties in index order).
+    """
+    return _metrics_from_masks(scores, tp, ignore, r_at_n, robust, topk, full_rank)
+
+
+def build_eval_masks(gal_label_ids, gal_vid_ids, q_label_ids, q_src_vids):
+    """Device-side tp/ignore construction from integer id arrays.
+
+    The host-mask path ships two [Q,G] bools per chunk (50 MB at clip scale);
+    behind a slow host↔device link that transfer dominated the whole eval.
+    Ids make the per-chunk traffic KB-scale: gallery columns carry a label id
+    and a video id ([G] i32, uploaded once), queries carry a label id and
+    their multi-query source-video ids ([Q] + [Q,K] i32).
+
+    tp[q,g]     = gal_label_ids[g] == q_label_ids[q]
+    ignore[q,g] = gal_vid_ids[g] ∈ q_src_vids[q]  (the multi-query source
+                  videos, dataloader_baseline.py:1532)  |  padded column
+
+    Padded gallery columns are marked with gal_vid_ids == -1 (and label -1);
+    q_src_vids pads with -2 so query padding never matches column padding.
+    """
+    tp = gal_label_ids[None, :] == q_label_ids[:, None]
+    pad = gal_vid_ids < 0
+    ignore = jnp.broadcast_to(pad[None, :], tp.shape)
+    for k in range(q_src_vids.shape[1]):  # K is small & static: unrolled
+        ignore = ignore | (gal_vid_ids[None, :] == q_src_vids[:, k][:, None])
+    return tp & ~pad[None, :], ignore
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("r_at_n", "robust", "topk", "full_rank", "use_pallas"),
+)
+def fused_chunk_metrics(
+    q_bank,
+    gallery,
+    gal_label_ids,
+    gal_vid_ids,
+    q_rows,
+    q_label_ids,
+    q_src_vids,
+    r_at_n: Tuple[int, ...] = (30, 50, 100),
+    robust: bool = True,
+    topk: int = 0,
+    full_rank: bool = False,
+    use_pallas: bool = False,
+):
+    """One device dispatch per query chunk: gather query features from a
+    device-resident bank, score against the (optionally row-sharded) gallery,
+    build tp/ignore from ids, and reduce to the per-query metrics — so the
+    only per-chunk host↔device traffic is a few KB of i32 ids up and the
+    [Q]-sized metric vectors down.
+
+    q_bank [Nq,D] device bank of candidate query features (for trimmed eval
+    this IS the gallery — queries are gallery rows, dataloader:1486);
+    q_rows [Q,query_num] rows to average per expanded query (pad: -1);
+    gallery [G,D]; gal_label_ids/gal_vid_ids [G] i32 (pad: -1);
+    q_label_ids [Q] i32; q_src_vids [Q,K] i32 (pad: -2).
+
+    ``use_pallas`` selects the fused TPU distance kernel; the caller decides
+    (GSPMD can't partition a pallas_call, so sharded galleries use the XLA
+    expansion — see ops.distance._use_pallas).
+    """
+    scores = gather_scores(q_bank, gallery, q_rows, use_pallas)
+    tp, ignore = build_eval_masks(
+        gal_label_ids, gal_vid_ids, q_label_ids, q_src_vids
+    )
+    return _metrics_from_masks(scores, tp, ignore, r_at_n, robust, topk, full_rank)
+
+
+def gather_scores(q_bank, gallery, q_rows, use_pallas: bool = False):
+    """Masked-mean gather of query features from a device bank, then the
+    distance kernel. q_rows [B,query_num] i32 pads with -1 when a query has
+    fewer than query_num source clips (np.mean over the short list in the
+    host path). Trace-time only — callers jit."""
+    from vqwild_tpu.ops.distance import pairwise_sq_l2
+
+    qmask = (q_rows >= 0).astype(q_bank.dtype)
+    qf = jnp.sum(
+        q_bank[jnp.maximum(q_rows, 0)] * qmask[..., None], axis=1
+    ) / jnp.sum(qmask, axis=1, keepdims=True)
+    if use_pallas:
+        from vqwild_tpu.ops.pallas_kernels import pairwise_sq_l2_pallas
+
+        return -pairwise_sq_l2_pallas(qf, gallery)
+    return -pairwise_sq_l2(qf, gallery)

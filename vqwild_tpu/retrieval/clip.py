@@ -11,14 +11,12 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
-import jax.numpy as jnp
 import numpy as np
 
 from vqwild_tpu.core.logging import get_logger
 from vqwild_tpu.data.labels import SplitSpec
 from vqwild_tpu.data.schema import MomentDB, VideoRecord
 from vqwild_tpu.ops.hostmem import alloc_array
-from vqwild_tpu.ops.ranking import ranked_retrieval_metrics
 from vqwild_tpu.ops.segment_pool import HostWindowPooler, enumerate_clip_windows
 from vqwild_tpu.retrieval.aggregate import MetricAggregator
 from vqwild_tpu.retrieval.diagnostics import DiagnosticsCollector
@@ -157,7 +155,16 @@ class ARVRetrievalClip:
         label_ids = {}
         for lab in list(gal_labels) + [q.label for q in queries]:
             label_ids.setdefault(lab, len(label_ids))
-        gal_label_ids = np.array([label_ids[l] for l in gal_labels], np.int64)
+        gal_label_ids = np.array([label_ids[l] for l in gal_labels], np.int32)
+        vid_codes = {}
+        for v in self.gallery_videos:
+            vid_codes.setdefault(v.video_id, len(vid_codes))
+        for q in queries:
+            vid_codes.setdefault(q.video_id, len(vid_codes))
+        gal_vid_codes = np.array(
+            [vid_codes[self.gallery_videos[v].video_id] for v in gal_vidx],
+            np.int32,
+        )
 
         expanded = generate_multi_query(
             list(range(len(queries))),
@@ -179,35 +186,51 @@ class ARVRetrievalClip:
         # so its cm_dict has just gt_labels + system streams; the rebuild fills
         # the full payload (see retrieval/diagnostics.py)
         diag = DiagnosticsCollector(self.robust_map) if self.collect_diagnostics else None
+        # fused id-based chunk path: gallery feats + per-clip label/video ids
+        # and the query bank upload once; each chunk ships only i32 ids (KB)
+        # instead of two [Q,G] bool masks (50 MB at this scale) — the masks
+        # dominated the whole eval behind a slow host↔device link
         scorer = GalleryScorer(gal_feats, mesh=self.mesh)
+        scorer.set_columns(gal_label_ids, gal_vid_codes)
+        scorer.set_query_bank(q_feats_all.astype(np.float32, copy=False))
+        k_src = max((len(qs) for qs in expanded), default=1)
         for start in range(0, len(expanded), self.rank_chunk):
             batch = expanded[start : start + self.rank_chunk]
-            qf = np.stack(
-                [
-                    np.mean([q_feats_all[i] for i in qs[: self.query_num]], axis=0)
-                    for qs in batch
+            b = len(batch)
+            q_rows = np.full((b, self.query_num), -1, np.int32)
+            q_src = np.full((b, k_src), -2, np.int32)
+            q_lab = np.empty(b, np.int32)
+            for bi, qs in enumerate(batch):
+                take = qs[: self.query_num]
+                q_rows[bi, : len(take)] = take
+                q_lab[bi] = label_ids[queries[qs[0]].label]
+                q_src[bi, : len(qs)] = [
+                    vid_codes[queries[qi].video_id] for qi in qs
                 ]
-            )
-            tp = np.stack(
-                [gal_label_ids == label_ids[queries[qs[0]].label] for qs in batch]
-            )
-            ignore = np.stack(
-                [
-                    np.isin(gal_video_ids, [queries[i].video_id for i in qs])
-                    for qs in batch
-                ]
-            )
-            tp, ignore = scorer.pad_columns(tp, ignore)
-            scores = scorer.scores(qf)
-            out = ranked_retrieval_metrics(
-                scores,
-                jnp.asarray(tp),
-                jnp.asarray(ignore),
+            out = scorer.chunk_metrics(
+                q_rows,
+                q_lab,
+                q_src,
                 r_at_n=self.r_at_n,
                 robust=self.robust_map,
                 topk=100 if diag is not None else 0,
                 full_rank=diag is not None,
             )
+            if diag is not None:
+                # host copy of the ignore mask, for top-list filtering only
+                ignore = np.stack(
+                    [
+                        np.isin(gal_video_ids, [queries[i].video_id for i in qs])
+                        for qs in batch
+                    ]
+                )
+                ignore = np.concatenate(
+                    [
+                        ignore,
+                        np.ones((b, scorer.n_padded - scorer.n), bool),
+                    ],
+                    axis=1,
+                )
             aps = np.asarray(out["ap"])
             recalls = np.asarray(out["recalls"])
             if diag is not None:

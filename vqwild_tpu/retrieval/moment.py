@@ -341,15 +341,16 @@ class ARVRetrievalMoment:
         )
         with _phase(self.timings, "gallery_to_device"):
             scorer = GalleryScorer(feats, mesh=self.mesh)
+            # queries gather from a device-resident bank: per chunk only the
+            # [B, query_num] i32 rows cross to device, not [B, D] features
+            scorer.set_query_bank(q_feats_all.astype(np.float32, copy=False))
             jax.block_until_ready(scorer.g_dev)
         for cstart in range(0, len(expanded), engine.chunk):
             batch = expanded[cstart : cstart + engine.chunk]
-            qf = np.stack(
-                [
-                    np.mean([q_feats_all[i] for i in qs[: self.query_num]], axis=0)
-                    for qs in batch
-                ]
-            )
+            q_rows = np.full((len(batch), self.query_num), -1, np.int32)
+            for bi, qs in enumerate(batch):
+                take = qs[: self.query_num]
+                q_rows[bi, : len(take)] = take
             q_labels = [engine.label_id(queries[qs[0]].label) for qs in batch]
             ignore_vids = [
                 [
@@ -360,7 +361,7 @@ class ARVRetrievalMoment:
                 for qs in batch
             ]
             with _phase(self.timings, "score_device"):
-                dev_scores = scorer.scores(qf)
+                dev_scores = scorer.scores_from_bank(q_rows)
             with _phase(self.timings, "metrics_device"):
                 aps, recalls = engine.metrics(
                     dev_scores, q_labels, ignore_vids, self.r_at_n, self.robust_map

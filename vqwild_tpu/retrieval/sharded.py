@@ -11,6 +11,7 @@ CPU mesh).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -18,8 +19,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from vqwild_tpu.ops.distance import score_matrix
+from vqwild_tpu.ops.distance import _use_pallas, score_matrix
+from vqwild_tpu.ops.ranking import fused_chunk_metrics, gather_scores
 from vqwild_tpu.parallel.mesh import pad_to_multiple
+
+_bank_scores = functools.partial(
+    jax.jit, static_argnames=("use_pallas",)
+)(gather_scores)
 
 
 class GalleryScorer:
@@ -41,12 +47,88 @@ class GalleryScorer:
             padded, _ = pad_to_multiple(np.asarray(gallery_feats), n_shards)
             self.n_padded = padded.shape[0]
             spec = P(axes[0] if len(axes) == 1 else axes)
-            self.g_dev = jax.device_put(padded, NamedSharding(mesh, spec))
+            self._row_sharding = NamedSharding(mesh, spec)
+            self.g_dev = jax.device_put(padded, self._row_sharding)
             self._q_sharding = NamedSharding(mesh, P())  # queries replicate
         else:
             self.n_padded = self.n
             self.g_dev = jnp.asarray(gallery_feats)
+            self._row_sharding = None
             self._q_sharding = None
+        self._col_label_ids = None
+        self._col_vid_ids = None
+        self._q_bank = None
+
+    # ---- device-resident eval state (id-based mask path) ----
+
+    def set_columns(self, label_ids: np.ndarray, vid_ids: np.ndarray):
+        """Upload per-gallery-item label/video ids once ([G] i32, ≥0).
+
+        Padded rows get -1 so build_eval_masks force-ignores them; ids shard
+        with the gallery rows so the per-shard mask math stays local."""
+        assert label_ids.shape == vid_ids.shape == (self.n,)
+
+        def _pad(a):
+            a = np.asarray(a, np.int32)
+            if self.n_padded > self.n:
+                a = np.concatenate(
+                    [a, np.full(self.n_padded - self.n, -1, np.int32)]
+                )
+            if self._row_sharding is not None:
+                return jax.device_put(a, self._row_sharding)
+            return jnp.asarray(a)
+
+        self._col_label_ids = _pad(label_ids)
+        self._col_vid_ids = _pad(vid_ids)
+
+    def set_query_bank(self, feats: Optional[np.ndarray]):
+        """Upload the query-feature bank once (replicated). ``None`` means
+        queries are gallery rows (trimmed eval) — the bank is the gallery
+        itself, so gathers stay shard-local only in the replicated case;
+        with a row-sharded gallery XLA inserts the gather's all-gather."""
+        if feats is None:
+            self._q_bank = self.g_dev
+        elif self._q_sharding is not None:
+            self._q_bank = jax.device_put(
+                np.asarray(feats, np.float32), self._q_sharding
+            )
+        else:
+            self._q_bank = jnp.asarray(np.asarray(feats, np.float32))
+
+    def chunk_metrics(
+        self,
+        q_rows: np.ndarray,
+        q_label_ids: np.ndarray,
+        q_src_vids: np.ndarray,
+        r_at_n=(30, 50, 100),
+        robust: bool = True,
+        topk: int = 0,
+        full_rank: bool = False,
+    ):
+        """One fused device dispatch for a query chunk (see
+        ops.ranking.fused_chunk_metrics). q_rows [B,query_num] i32 rows into
+        the query bank; q_label_ids [B] i32; q_src_vids [B,K] i32 (pad -2)."""
+        assert self._col_label_ids is not None, "set_columns() first"
+        assert self._q_bank is not None, "set_query_bank() first"
+        up = lambda a: (
+            jax.device_put(a, self._q_sharding)
+            if self._q_sharding is not None
+            else jnp.asarray(a)
+        )
+        return fused_chunk_metrics(
+            self._q_bank,
+            self.g_dev,
+            self._col_label_ids,
+            self._col_vid_ids,
+            up(np.asarray(q_rows, np.int32)),
+            up(np.asarray(q_label_ids, np.int32)),
+            up(np.asarray(q_src_vids, np.int32)),
+            r_at_n=tuple(r_at_n),
+            robust=robust,
+            topk=topk,
+            full_rank=full_rank,
+            use_pallas=_use_pallas(self.g_dev),
+        )
 
     def pad_columns(self, tp: np.ndarray, ignore: np.ndarray):
         """Extend per-query tp/ignore to padded gallery width (pads ignored)."""
@@ -58,6 +140,20 @@ class GalleryScorer:
             [ignore, np.ones((ignore.shape[0], extra), bool)], axis=1
         )
         return tp, ignore
+
+    def scores_from_bank(self, q_rows: np.ndarray):
+        """[B, query_num] i32 rows (pad -1) → [B, n_padded] scores (device).
+
+        Like ``scores`` but the query features are gathered (masked mean)
+        from the device-resident bank, so the per-chunk upload is the i32
+        row index array instead of the [B, D] f32 features."""
+        assert self._q_bank is not None, "set_query_bank() first"
+        rows = np.asarray(q_rows, np.int32)
+        if self._q_sharding is not None:
+            rows = jax.device_put(rows, self._q_sharding)
+        return _bank_scores(
+            self._q_bank, self.g_dev, rows, use_pallas=_use_pallas(self.g_dev)
+        )
 
     def scores(self, qfeats: np.ndarray, out_dtype=None):
         """[B, D] queries → [B, n_padded] scores (device array).

@@ -14,13 +14,11 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
-import jax.numpy as jnp
 import numpy as np
 
 from vqwild_tpu.core.logging import get_logger
 from vqwild_tpu.data.labels import SplitSpec
 from vqwild_tpu.data.schema import TrimmedDB, VideoRecord
-from vqwild_tpu.ops.ranking import ranked_retrieval_metrics
 from vqwild_tpu.retrieval.aggregate import MetricAggregator
 from vqwild_tpu.retrieval.diagnostics import DiagnosticsCollector
 from vqwild_tpu.retrieval.features import FeatureExtractor
@@ -100,10 +98,11 @@ class ARVRetrievalTrimmed:
         label_ids = {}
         for r in records:
             label_ids.setdefault(r.label, len(label_ids))
-        gal_labels = np.array([label_ids[r.label] for r in records], np.int64)
-        vid2idx = {}
-        for i, r in enumerate(records):
-            vid2idx.setdefault(r.video_id, []).append(i)
+        gal_labels = np.array([label_ids[r.label] for r in records], np.int32)
+        vid_codes = {}
+        for r in records:
+            vid_codes.setdefault(r.video_id, len(vid_codes))
+        gal_vids = np.array([vid_codes[r.video_id] for r in records], np.int32)
 
         agg = MetricAggregator(self.r_at_n)
         agg.set_class_info(
@@ -112,32 +111,31 @@ class ARVRetrievalTrimmed:
         # cm_dict diagnostics payload (dataloader_baseline.py:357-368, :437-466)
         diag = DiagnosticsCollector(self.robust_map) if self.collect_diagnostics else None
 
+        # queries are gallery rows (dataloader:1486): the fused chunk path
+        # gathers them on device, so per-chunk host→device traffic is only
+        # the i32 row/label/source-video ids (KB, vs two [Q,G] bool masks —
+        # which dominated the whole eval behind a slow host↔device link)
         scorer = GalleryScorer(gallery_feats, mesh=self.mesh)
+        scorer.set_columns(gal_labels, gal_vids)
+        scorer.set_query_bank(None)
+        k_src = max((len(qs) for qs in expanded), default=1)
         for start in range(0, len(expanded), self.rank_chunk):
             batch = expanded[start : start + self.rank_chunk]
-            qfeats = np.stack(
-                [
-                    np.mean(
-                        [gallery_feats[i] for i in qs[: self.query_num]], axis=0
-                    )
-                    for qs in batch
-                ]
-            )
-            tp = np.stack(
-                [gal_labels == label_ids[records[qs[0]].label] for qs in batch]
-            )
-            ignore = np.zeros((len(batch), len(records)), bool)
+            b = len(batch)
+            q_rows = np.full((b, self.query_num), -1, np.int32)
+            q_src = np.full((b, k_src), -2, np.int32)
+            q_lab = np.empty(b, np.int32)
             for bi, qs in enumerate(batch):
-                for qi in qs:
-                    for gi in vid2idx.get(records[qi].video_id, ()):
-                        ignore[bi, gi] = True
-
-            tp, ignore = scorer.pad_columns(tp, ignore)
-            scores = scorer.scores(qfeats)
-            out = ranked_retrieval_metrics(
-                scores,
-                jnp.asarray(tp),
-                jnp.asarray(ignore),
+                take = qs[: self.query_num]
+                q_rows[bi, : len(take)] = take
+                q_lab[bi] = label_ids[records[qs[0]].label]
+                q_src[bi, : len(qs)] = [
+                    vid_codes[records[qi].video_id] for qi in qs
+                ]
+            out = scorer.chunk_metrics(
+                q_rows,
+                q_lab,
+                q_src,
                 r_at_n=self.r_at_n,
                 robust=self.robust_map,
                 # ignored entries score −inf and sort strictly after every
@@ -147,6 +145,17 @@ class ARVRetrievalTrimmed:
                 topk=100 if diag is not None else 0,
                 full_rank=diag is not None,
             )
+            if diag is not None:
+                # host copy of the ignore mask, for top-list filtering only
+                ignore = np.zeros((b, scorer.n_padded), bool)
+                ignore[:, scorer.n :] = True
+                vid2idx = {}
+                for i, r in enumerate(records):
+                    vid2idx.setdefault(r.video_id, []).append(i)
+                for bi, qs in enumerate(batch):
+                    for qi in qs:
+                        for gi in vid2idx.get(records[qi].video_id, ()):
+                            ignore[bi, gi] = True
             aps = np.asarray(out["ap"])
             recalls = np.asarray(out["recalls"])
             top_idx = np.asarray(out["top_idx"]) if diag is not None else None
