@@ -194,6 +194,10 @@ class ARVRetrievalClip:
         scorer.set_columns(gal_label_ids, gal_vid_codes)
         scorer.set_query_bank(q_feats_all.astype(np.float32, copy=False))
         k_src = max((len(qs) for qs in expanded), default=1)
+        # without diagnostics the per-chunk outputs are [B]-sized: dispatch
+        # every chunk first (async), then read back — chunks pipeline through
+        # a high-latency host↔device link instead of paying RTT serially
+        staged = [] if diag is None else None
         for start in range(0, len(expanded), self.rank_chunk):
             batch = expanded[start : start + self.rank_chunk]
             b = len(batch)
@@ -216,28 +220,30 @@ class ARVRetrievalClip:
                 topk=100 if diag is not None else 0,
                 full_rank=diag is not None,
             )
-            if diag is not None:
-                # host copy of the ignore mask, for top-list filtering only
-                ignore = np.stack(
-                    [
-                        np.isin(gal_video_ids, [queries[i].video_id for i in qs])
-                        for qs in batch
-                    ]
-                )
-                ignore = np.concatenate(
-                    [
-                        ignore,
-                        np.ones((b, scorer.n_padded - scorer.n), bool),
-                    ],
-                    axis=1,
-                )
+            if staged is not None:
+                staged.append((batch, out))
+                continue
+            # diagnostics path: per-chunk sync (full_rank outputs are [B,G])
+            # host copy of the ignore mask, for top-list filtering only
+            ignore = np.stack(
+                [
+                    np.isin(gal_video_ids, [queries[i].video_id for i in qs])
+                    for qs in batch
+                ]
+            )
+            ignore = np.concatenate(
+                [
+                    ignore,
+                    np.ones((b, scorer.n_padded - scorer.n), bool),
+                ],
+                axis=1,
+            )
             aps = np.asarray(out["ap"])
             recalls = np.asarray(out["recalls"])
-            if diag is not None:
-                top_idx = np.asarray(out["top_idx"])
-                tp_sorted = np.asarray(out["tp_sorted"])
-                s_sorted = np.asarray(out["scores_sorted"], np.float32)
-                nvalid = np.asarray(out["nvalid"])
+            top_idx = np.asarray(out["top_idx"])
+            tp_sorted = np.asarray(out["tp_sorted"])
+            s_sorted = np.asarray(out["scores_sorted"], np.float32)
+            nvalid = np.asarray(out["nvalid"])
             for bi, qs in enumerate(batch):
                 q = queries[qs[0]]
                 agg.add(q.label, q.retrieval_type, float(aps[bi]), recalls[bi].tolist())
@@ -260,6 +266,18 @@ class ARVRetrievalClip:
                             )
                             for g in top[:30]
                         ],
+                    )
+        if staged is not None:
+            for batch, out in staged:
+                aps = np.asarray(out["ap"])
+                recalls = np.asarray(out["recalls"])
+                for bi, qs in enumerate(batch):
+                    q = queries[qs[0]]
+                    agg.add(
+                        q.label,
+                        q.retrieval_type,
+                        float(aps[bi]),
+                        recalls[bi].tolist(),
                     )
         result = agg.result()
         if diag is not None:

@@ -345,6 +345,9 @@ class ARVRetrievalMoment:
             # [B, query_num] i32 rows cross to device, not [B, D] features
             scorer.set_query_bank(q_feats_all.astype(np.float32, copy=False))
             jax.block_until_ready(scorer.g_dev)
+        # dispatch all chunks first (outputs are [B]-sized device arrays),
+        # then read back — chunks pipeline through a high-latency link
+        staged = []
         for cstart in range(0, len(expanded), engine.chunk):
             batch = expanded[cstart : cstart + engine.chunk]
             q_rows = np.full((len(batch), self.query_num), -1, np.int32)
@@ -363,14 +366,29 @@ class ARVRetrievalMoment:
             with _phase(self.timings, "score_device"):
                 dev_scores = scorer.scores_from_bank(q_rows)
             with _phase(self.timings, "metrics_device"):
-                aps, recalls = engine.metrics(
-                    dev_scores, q_labels, ignore_vids, self.r_at_n, self.robust_map
+                staged.append(
+                    (
+                        batch,
+                        engine.dispatch(
+                            dev_scores,
+                            q_labels,
+                            ignore_vids,
+                            self.r_at_n,
+                            self.robust_map,
+                        ),
+                    )
                 )
-            for bi, qs in enumerate(batch):
-                q = queries[qs[0]]
-                agg.add(
-                    q.label, q.retrieval_type, float(aps[bi]), recalls[bi].tolist()
-                )
+        with _phase(self.timings, "metrics_readback"):
+            for batch, handle in staged:
+                aps, recalls = engine.finalize(handle)
+                for bi, qs in enumerate(batch):
+                    q = queries[qs[0]]
+                    agg.add(
+                        q.label,
+                        q.retrieval_type,
+                        float(aps[bi]),
+                        recalls[bi].tolist(),
+                    )
         return {"map05": agg.result()}
 
     def evaluation(self) -> dict:

@@ -301,7 +301,7 @@ class DeviceMomentEngine:
     def label_id(self, label: str) -> int:
         return self._label_ids.setdefault(str(label), len(self._label_ids))
 
-    def metrics(
+    def dispatch(
         self,
         scores,
         q_labels: Sequence[int],
@@ -309,11 +309,12 @@ class DeviceMomentEngine:
         r_at_n: Tuple[int, ...],
         robust: bool,
     ):
-        """scores: device [B, >=G] f32 (a GalleryScorer output); q_labels [B]
-        int ids; ignore_vids: per-query gallery-video index lists.
-        → (ap [B] f64, recalls [B, len(r_at_n)] f64). Pads the chunk to the
-        engine's fixed chunk size so every call hits one compiled program.
-        """
+        """Enqueue one chunk (async): scores device [B, >=G] f32 (a
+        GalleryScorer output); q_labels [B] int ids; ignore_vids per-query
+        gallery-video index lists. Returns an opaque handle for
+        ``finalize``. Pads the chunk to the engine's fixed chunk size so
+        every call hits one compiled program; the [B]-sized outputs stay on
+        device so chunks pipeline through a high-latency link."""
         b = scores.shape[0]
         assert b <= self.chunk, (b, self.chunk)
         ql = np.full(self.chunk, -1, np.int32)
@@ -339,8 +340,27 @@ class DeviceMomentEngine:
             r_at_n=tuple(r_at_n),
             robust=bool(robust),
         )
-        ap = np.asarray(ap, np.float64)[:b]
+        return ap, rhits, npos, b
+
+    @staticmethod
+    def finalize(handle):
+        """→ (ap [B] f64, recalls [B, len(r_at_n)] f64) for one dispatch."""
+        ap_d, rhits_d, npos_d, b = handle
+        ap = np.asarray(ap_d, np.float64)[:b]
         # identical arithmetic to the host path: npos = tp.sum() + 1e-10 (f64)
-        npos = np.asarray(npos, np.float64)[:b] + 1e-10
-        recalls = np.asarray(rhits, np.float64)[:b] / npos[:, None]
+        npos = np.asarray(npos_d, np.float64)[:b] + 1e-10
+        recalls = np.asarray(rhits_d, np.float64)[:b] / npos[:, None]
         return ap, recalls
+
+    def metrics(
+        self,
+        scores,
+        q_labels: Sequence[int],
+        ignore_vids: List[List[int]],
+        r_at_n: Tuple[int, ...],
+        robust: bool,
+    ):
+        """Synchronous dispatch+finalize of one chunk."""
+        return self.finalize(
+            self.dispatch(scores, q_labels, ignore_vids, r_at_n, robust)
+        )

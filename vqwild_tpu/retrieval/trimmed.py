@@ -119,6 +119,10 @@ class ARVRetrievalTrimmed:
         scorer.set_columns(gal_labels, gal_vids)
         scorer.set_query_bank(None)
         k_src = max((len(qs) for qs in expanded), default=1)
+        # without diagnostics the per-chunk outputs are [B]-sized: dispatch
+        # every chunk first (async), then read back — chunks pipeline through
+        # a high-latency host↔device link instead of paying RTT serially
+        staged = [] if diag is None else None
         for start in range(0, len(expanded), self.rank_chunk):
             batch = expanded[start : start + self.rank_chunk]
             b = len(batch)
@@ -145,24 +149,26 @@ class ARVRetrievalTrimmed:
                 topk=100 if diag is not None else 0,
                 full_rank=diag is not None,
             )
-            if diag is not None:
-                # host copy of the ignore mask, for top-list filtering only
-                ignore = np.zeros((b, scorer.n_padded), bool)
-                ignore[:, scorer.n :] = True
-                vid2idx = {}
-                for i, r in enumerate(records):
-                    vid2idx.setdefault(r.video_id, []).append(i)
-                for bi, qs in enumerate(batch):
-                    for qi in qs:
-                        for gi in vid2idx.get(records[qi].video_id, ()):
-                            ignore[bi, gi] = True
+            if staged is not None:
+                staged.append((batch, out))
+                continue
+            # diagnostics path: per-chunk sync (full_rank outputs are [B,G])
+            # host copy of the ignore mask, for top-list filtering only
+            ignore = np.zeros((b, scorer.n_padded), bool)
+            ignore[:, scorer.n :] = True
+            vid2idx = {}
+            for i, r in enumerate(records):
+                vid2idx.setdefault(r.video_id, []).append(i)
+            for bi, qs in enumerate(batch):
+                for qi in qs:
+                    for gi in vid2idx.get(records[qi].video_id, ()):
+                        ignore[bi, gi] = True
             aps = np.asarray(out["ap"])
             recalls = np.asarray(out["recalls"])
-            top_idx = np.asarray(out["top_idx"]) if diag is not None else None
-            if diag is not None:
-                tp_sorted = np.asarray(out["tp_sorted"])
-                s_sorted = np.asarray(out["scores_sorted"], np.float32)
-                nvalid = np.asarray(out["nvalid"])
+            top_idx = np.asarray(out["top_idx"])
+            tp_sorted = np.asarray(out["tp_sorted"])
+            s_sorted = np.asarray(out["scores_sorted"], np.float32)
+            nvalid = np.asarray(out["nvalid"])
             for bi, qs in enumerate(batch):
                 q = records[qs[0]]
                 agg.add(q.label, q.retrieval_type, float(aps[bi]), recalls[bi].tolist())
@@ -186,6 +192,18 @@ class ARVRetrievalTrimmed:
                             )
                             for g in top[:30]
                         ],
+                    )
+        if staged is not None:
+            for batch, out in staged:
+                aps = np.asarray(out["ap"])
+                recalls = np.asarray(out["recalls"])
+                for bi, qs in enumerate(batch):
+                    q = records[qs[0]]
+                    agg.add(
+                        q.label,
+                        q.retrieval_type,
+                        float(aps[bi]),
+                        recalls[bi].tolist(),
                     )
         result = agg.result()
         if diag is not None:
