@@ -85,15 +85,24 @@ def main():
         "meta_split": args.meta_split,
     }
 
-    t0 = time.time()
-    r = ARVRetrievalTrimmed(db, spec, extractor(), eval_split="testing").evaluation()
-    report["trimmed_s"] = round(time.time() - t0, 2)
-    print(f"TRIMMED  full-scale: {report['trimmed_s']:.1f}s  ap={r['ap']:.4f}", flush=True)
+    def phases(ev):
+        return {k: round(v, 2) for k, v in sorted(ev.timings.items())}
 
     t0 = time.time()
-    rc = ARVRetrievalClip(mdb, spec, extractor(), check_completeness=False).evaluation()
+    ev_t = ARVRetrievalTrimmed(db, spec, extractor(), eval_split="testing")
+    r = ev_t.evaluation()
+    report["trimmed_s"] = round(time.time() - t0, 2)
+    report["trimmed_phases_s"] = phases(ev_t)
+    print(f"TRIMMED  full-scale: {report['trimmed_s']:.1f}s  ap={r['ap']:.4f}", flush=True)
+    print(f"TRIMMED phases: {report['trimmed_phases_s']}", flush=True)
+
+    t0 = time.time()
+    ev_c = ARVRetrievalClip(mdb, spec, extractor(), check_completeness=False)
+    rc = ev_c.evaluation()
     report["clip_s"] = round(time.time() - t0, 2)
+    report["clip_phases_s"] = phases(ev_c)
     print(f"CLIP     full-scale: {report['clip_s']:.1f}s  ap={rc['ap']:.4f}", flush=True)
+    print(f"CLIP phases: {report['clip_phases_s']}", flush=True)
 
     if not args.skip_moment:
         t0 = time.time()

@@ -40,23 +40,34 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def build_world(out_dir: str, n_base: int, train_per_base: int) -> None:
-    subprocess.run(
-        [
-            sys.executable,
-            "-m",
-            "vqwild_tpu.datagen",
-            "synthworld",
-            "--out_dir",
-            out_dir,
-            "--n_base",
-            str(n_base),
-            "--train_per_base",
-            str(train_per_base),
-        ],
-        cwd=REPO,
-        check=True,
-    )
+def build_world(out_dir: str, args) -> None:
+    cmd = [
+        sys.executable,
+        "-m",
+        "vqwild_tpu.datagen",
+        "synthworld",
+        "--out_dir",
+        out_dir,
+        "--n_base",
+        str(args.n_base),
+        "--n_val",
+        str(args.n_val),
+        "--n_test",
+        str(args.n_test),
+        "--train_per_base",
+        str(args.train_per_base),
+    ]
+    if args.semantic:
+        cmd += [
+            "--semantic",
+            "--latent_dim",
+            str(args.latent_dim),
+            "--family_size",
+            str(args.family_size),
+            "--sibling_eps",
+            str(args.sibling_eps),
+        ]
+    subprocess.run(cmd, cwd=REPO, check=True)
 
 
 def run_method(method: str, world: str, run_dir: str, args) -> dict:
@@ -125,14 +136,23 @@ def main():
     p.add_argument("--scan_steps", type=int, default=1)
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--n_base", type=int, default=16)
+    p.add_argument("--n_val", type=int, default=4)
+    p.add_argument("--n_test", type=int, default=4)
     p.add_argument("--train_per_base", type=int, default=12)
+    p.add_argument("--semantic", action="store_true",
+                   help="semantically coupled world (novel sibling families "
+                        "whose separation needs the latent the va/vasa "
+                        "auxiliary losses inject; synthworld.py module doc)")
+    p.add_argument("--latent_dim", type=int, default=8)
+    p.add_argument("--family_size", type=int, default=2)
+    p.add_argument("--sibling_eps", type=float, default=0.35)
     p.add_argument("--world", default="", help="reuse an existing world dir")
     p.add_argument("--out", default="")
     args = p.parse_args()
 
     world = args.world or tempfile.mkdtemp(prefix="synthworld_")
     if not os.path.isfile(os.path.join(world, "synth_split.json")):
-        build_world(world, args.n_base, args.train_per_base)
+        build_world(world, args)
 
     import jax  # after world build (subprocesses own their backends)
 
@@ -156,7 +176,13 @@ def main():
             batch_size=args.batch_size,
             compute_dtype=args.compute_dtype,
             n_base=args.n_base,
+            n_val=args.n_val,
+            n_test=args.n_test,
             train_per_base=args.train_per_base,
+            semantic=args.semantic,
+            latent_dim=args.latent_dim,
+            family_size=args.family_size,
+            sibling_eps=args.sibling_eps,
         ),
         results=results,
     )

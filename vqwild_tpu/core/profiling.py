@@ -22,6 +22,18 @@ log = get_logger("profiling")
 
 
 @contextlib.contextmanager
+def phase(timings: dict, key: str):
+    """Accumulate wall time into ``timings[key]`` — per-phase cost
+    accounting for the production-scale eval benchmarks
+    (benchmarks/eval_scale.py reads evaluator ``.timings``)."""
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        timings[key] = timings.get(key, 0.0) + time.perf_counter() - t0
+
+
+@contextlib.contextmanager
 def trace(run_dir: str, enabled: bool = True):
     """jax.profiler trace context; writes to {run_dir}/profile."""
     if not enabled:

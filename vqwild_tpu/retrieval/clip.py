@@ -11,9 +11,11 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
+import jax
 import numpy as np
 
 from vqwild_tpu.core.logging import get_logger
+from vqwild_tpu.core.profiling import phase
 from vqwild_tpu.data.labels import SplitSpec
 from vqwild_tpu.data.schema import MomentDB, VideoRecord
 from vqwild_tpu.ops.hostmem import alloc_array
@@ -76,6 +78,7 @@ class ARVRetrievalClip:
         self.mesh = mesh
         # clip/moment eval always uses train+test labels (:671-674)
         self.possible_classes = set(spec.possible_classes("testing"))
+        self.timings: dict = {}
         self.queries: List[VideoRecord] = db.nonnoise_queries()
         self.gallery_videos: List[VideoRecord] = db.gallery
         log.info(
@@ -132,13 +135,15 @@ class ARVRetrievalClip:
         return feats, labels, vidx, locs_arr
 
     def evaluation(self) -> dict:
-        q_feats_all = self.extractor.extract_trimmed(self.queries)
+        with phase(self.timings, "query_feats"):
+            q_feats_all = self.extractor.extract_trimmed(self.queries)
         pool = self.queries[: q_feats_all.shape[0]]  # capped in debug
         keep = [i for i, q in enumerate(pool) if q.label in self.possible_classes]
         queries = [pool[i] for i in keep]
         q_feats_all = q_feats_all[keep]
 
-        gal_feats, gal_labels, gal_vidx, gal_locs = self.build_gallery()
+        with phase(self.timings, "gallery_build"):
+            gal_feats, gal_labels, gal_vidx, gal_locs = self.build_gallery()
         if self.check_completeness:
             present = set(gal_labels.tolist()) - {"unknown"}
             missing = self.possible_classes - present
@@ -190,9 +195,11 @@ class ARVRetrievalClip:
         # and the query bank upload once; each chunk ships only i32 ids (KB)
         # instead of two [Q,G] bool masks (50 MB at this scale) — the masks
         # dominated the whole eval behind a slow host↔device link
-        scorer = GalleryScorer(gal_feats, mesh=self.mesh)
-        scorer.set_columns(gal_label_ids, gal_vid_codes)
-        scorer.set_query_bank(q_feats_all.astype(np.float32, copy=False))
+        with phase(self.timings, "gallery_to_device"):
+            scorer = GalleryScorer(gal_feats, mesh=self.mesh)
+            scorer.set_columns(gal_label_ids, gal_vid_codes)
+            scorer.set_query_bank(q_feats_all.astype(np.float32, copy=False))
+            jax.block_until_ready(scorer.g_dev)
         k_src = max((len(qs) for qs in expanded), default=1)
         # without diagnostics the per-chunk outputs are [B]-sized: dispatch
         # every chunk first (async), then read back — chunks pipeline through
@@ -211,15 +218,16 @@ class ARVRetrievalClip:
                 q_src[bi, : len(qs)] = [
                     vid_codes[queries[qi].video_id] for qi in qs
                 ]
-            out = scorer.chunk_metrics(
-                q_rows,
-                q_lab,
-                q_src,
-                r_at_n=self.r_at_n,
-                robust=self.robust_map,
-                topk=100 if diag is not None else 0,
-                full_rank=diag is not None,
-            )
+            with phase(self.timings, "rank_dispatch"):
+                out = scorer.chunk_metrics(
+                    q_rows,
+                    q_lab,
+                    q_src,
+                    r_at_n=self.r_at_n,
+                    robust=self.robust_map,
+                    topk=100 if diag is not None else 0,
+                    full_rank=diag is not None,
+                )
             if staged is not None:
                 staged.append((batch, out))
                 continue
@@ -268,17 +276,18 @@ class ARVRetrievalClip:
                         ],
                     )
         if staged is not None:
-            for batch, out in staged:
-                aps = np.asarray(out["ap"])
-                recalls = np.asarray(out["recalls"])
-                for bi, qs in enumerate(batch):
-                    q = queries[qs[0]]
-                    agg.add(
-                        q.label,
-                        q.retrieval_type,
-                        float(aps[bi]),
-                        recalls[bi].tolist(),
-                    )
+            with phase(self.timings, "metrics_readback"):
+                for batch, out in staged:
+                    aps = np.asarray(out["ap"])
+                    recalls = np.asarray(out["recalls"])
+                    for bi, qs in enumerate(batch):
+                        q = queries[qs[0]]
+                        agg.add(
+                            q.label,
+                            q.retrieval_type,
+                            float(aps[bi]),
+                            recalls[bi].tolist(),
+                        )
         result = agg.result()
         if diag is not None:
             result["cm_dict"] = diag.finalize(agg, result)

@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import concurrent.futures
 import time
-from contextlib import contextmanager
 from typing import List, Sequence, Tuple
 
 import jax
@@ -41,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vqwild_tpu.core.logging import get_logger
+from vqwild_tpu.core.profiling import phase
 from vqwild_tpu.data.labels import SplitSpec
 from vqwild_tpu.data.sampling import temporal_iou  # canonical def (jax-free)
 from vqwild_tpu.data.schema import MomentDB, VideoRecord
@@ -57,15 +57,7 @@ from vqwild_tpu.retrieval.sharded import GalleryScorer
 log = get_logger("retrieval.moment")
 
 
-@contextmanager
-def _phase(timings, key):
-    """Accumulate wall time into timings[key] — per-phase cost accounting
-    for the production-scale eval benchmark (benchmarks/eval_scale.py)."""
-    t0 = time.perf_counter()
-    try:
-        yield
-    finally:
-        timings[key] = timings.get(key, 0.0) + time.perf_counter() - t0
+_phase = phase  # shared per-phase accumulator (core/profiling.py)
 
 
 def closest_hit(annotations, loc_sec, possible_classes):

@@ -14,9 +14,11 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
+import jax
 import numpy as np
 
 from vqwild_tpu.core.logging import get_logger
+from vqwild_tpu.core.profiling import phase
 from vqwild_tpu.data.labels import SplitSpec
 from vqwild_tpu.data.schema import TrimmedDB, VideoRecord
 from vqwild_tpu.retrieval.aggregate import MetricAggregator
@@ -56,6 +58,7 @@ class ARVRetrievalTrimmed:
         self.mesh = mesh
         self.possible_classes = set(spec.possible_classes(eval_split))
         self.records: List[VideoRecord] = db.flat(eval_split)
+        self.timings: dict = {}
         log.info("loaded %d %s records", len(self.records), eval_split)
 
     def extract_features(self) -> np.ndarray:
@@ -69,7 +72,8 @@ class ARVRetrievalTrimmed:
         return feats
 
     def evaluation(self) -> dict:
-        gallery_feats = self.extract_features()  # [N, C] (N capped in debug)
+        with phase(self.timings, "features"):
+            gallery_feats = self.extract_features()  # [N, C] (capped in debug)
         if gallery_feats.shape[0] < len(self.records):
             self.records = self.records[: gallery_feats.shape[0]]
         n = len(self.records)
@@ -115,9 +119,11 @@ class ARVRetrievalTrimmed:
         # gathers them on device, so per-chunk host→device traffic is only
         # the i32 row/label/source-video ids (KB, vs two [Q,G] bool masks —
         # which dominated the whole eval behind a slow host↔device link)
-        scorer = GalleryScorer(gallery_feats, mesh=self.mesh)
-        scorer.set_columns(gal_labels, gal_vids)
-        scorer.set_query_bank(None)
+        with phase(self.timings, "gallery_to_device"):
+            scorer = GalleryScorer(gallery_feats, mesh=self.mesh)
+            scorer.set_columns(gal_labels, gal_vids)
+            scorer.set_query_bank(None)
+            jax.block_until_ready(scorer.g_dev)
         k_src = max((len(qs) for qs in expanded), default=1)
         # without diagnostics the per-chunk outputs are [B]-sized: dispatch
         # every chunk first (async), then read back — chunks pipeline through
@@ -136,19 +142,21 @@ class ARVRetrievalTrimmed:
                 q_src[bi, : len(qs)] = [
                     vid_codes[records[qi].video_id] for qi in qs
                 ]
-            out = scorer.chunk_metrics(
-                q_rows,
-                q_lab,
-                q_src,
-                r_at_n=self.r_at_n,
-                robust=self.robust_map,
-                # ignored entries score −inf and sort strictly after every
-                # valid item, so top_idx[:100] already IS the first 100 of
-                # the ignore-filtered ranking — no headroom needed; the
-                # filter below only trims when the query has <100 valid rows
-                topk=100 if diag is not None else 0,
-                full_rank=diag is not None,
-            )
+            with phase(self.timings, "rank_dispatch"):
+                out = scorer.chunk_metrics(
+                    q_rows,
+                    q_lab,
+                    q_src,
+                    r_at_n=self.r_at_n,
+                    robust=self.robust_map,
+                    # ignored entries score −inf and sort strictly after
+                    # every valid item, so top_idx[:100] already IS the first
+                    # 100 of the ignore-filtered ranking — no headroom
+                    # needed; the filter below only trims when the query has
+                    # <100 valid rows
+                    topk=100 if diag is not None else 0,
+                    full_rank=diag is not None,
+                )
             if staged is not None:
                 staged.append((batch, out))
                 continue
@@ -194,17 +202,18 @@ class ARVRetrievalTrimmed:
                         ],
                     )
         if staged is not None:
-            for batch, out in staged:
-                aps = np.asarray(out["ap"])
-                recalls = np.asarray(out["recalls"])
-                for bi, qs in enumerate(batch):
-                    q = records[qs[0]]
-                    agg.add(
-                        q.label,
-                        q.retrieval_type,
-                        float(aps[bi]),
-                        recalls[bi].tolist(),
-                    )
+            with phase(self.timings, "metrics_readback"):
+                for batch, out in staged:
+                    aps = np.asarray(out["ap"])
+                    recalls = np.asarray(out["recalls"])
+                    for bi, qs in enumerate(batch):
+                        q = records[qs[0]]
+                        agg.add(
+                            q.label,
+                            q.retrieval_type,
+                            float(aps[bi]),
+                            recalls[bi].tolist(),
+                        )
         result = agg.result()
         if diag is not None:
             # pass_content = the expanded query lists, mirroring upstream's
