@@ -35,6 +35,19 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    # persistent compile cache (host-signed like bench.py): the eval kernels
+    # at production shape take 5-15 s to compile, and a compile round-trip is
+    # a window for the dev relay's sporadic stream wedges — cache so reruns
+    # skip it entirely
+    from vqwild_tpu.core.hostsig import host_cpu_signature
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(repo, ".jax_cache", f"host-{host_cpu_signature()}"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import numpy as np
 
     from vqwild_tpu.apps.cli import resolve_data_file

@@ -205,7 +205,10 @@ class ARVRetrievalClip:
         # every chunk first (async), then read back — chunks pipeline through
         # a high-latency host↔device link instead of paying RTT serially
         staged = [] if diag is None else None
-        for start in range(0, len(expanded), self.rank_chunk):
+        n_chunks = (len(expanded) + self.rank_chunk - 1) // self.rank_chunk
+        for ci, start in enumerate(range(0, len(expanded), self.rank_chunk)):
+            if ci % 32 == 0:
+                log.info("rank chunk %d/%d dispatched", ci, n_chunks)
             batch = expanded[start : start + self.rank_chunk]
             b = len(batch)
             q_rows = np.full((b, self.query_num), -1, np.int32)
