@@ -174,7 +174,10 @@ class TestDiagnostics:
             workers=2,
         )
         r2 = ev2.evaluation()
-        assert abs(r["map05"]["ap"] - r2["map05"]["ap"]) < 1e-9
+        # 1e-7: ev2 takes the device engine whose score path fuses the query
+        # gather into the distance kernel — elementwise math reorders in the
+        # last ulp vs the diagnostics (host) engine's materialized features
+        assert abs(r["map05"]["ap"] - r2["map05"]["ap"]) < 1e-7
 
 
 class TestRankingLoss:
@@ -233,3 +236,16 @@ class TestHostSignature:
         from vqwild_tpu.native import lib as native_lib
 
         assert host_cpu_signature() in native_lib._so_path()
+
+
+class TestChunkedDevicePut:
+    def test_equal_and_chunked(self):
+        import numpy as np
+
+        from vqwild_tpu.core.transfer import chunked_device_put
+
+        x = np.arange(48 * 7, dtype=np.float32).reshape(48, 7)
+        d = chunked_device_put(x, chunk_bytes=7 * 4 * 5)  # 5 rows per message
+        np.testing.assert_array_equal(np.asarray(d), x)
+        d1 = chunked_device_put(x[0])  # 1-D passthrough
+        np.testing.assert_array_equal(np.asarray(d1), x[0])

@@ -51,10 +51,25 @@ def ap_from_sorted(s_sorted, tp_ap, valid, nvalid):
         [s_sorted[:, 1:], jnp.full((q, 1), -jnp.inf, s_sorted.dtype)], axis=1
     )
     boundary = valid & ((nxt != s_sorted) | (idx == nvalid - 1))
-    # each item's group-boundary index: reverse cumulative min of boundary idx
-    b_idx = jnp.where(boundary, idx, g - 1)
-    b_idx = jax.lax.associative_scan(jnp.minimum, b_idx, reverse=True, axis=1)
-    group_precision = jnp.take_along_axis(precision, b_idx, axis=1)
+    # backfill each item with its group-boundary precision via a reverse
+    # "first-defined" scan carrying the VALUE. (An index scan + gather is
+    # equivalent, but XLA:TPU fuses the gather's index operand with the whole
+    # scan DAG — recomputing the scan per gathered element; at G≈10^5 that
+    # fusion never finishes. Items past the last boundary backfill 0, which
+    # only occurs in the invalid tail where delta_recall is already 0.)
+    def _first_defined(a, b):
+        # reverse-mode scan passes (suffix accumulation, current element);
+        # the current (earlier-in-row) element wins when defined
+        av, ah = a
+        bv, bh = b
+        return jnp.where(bh, bv, av), ah | bh
+
+    group_precision, _ = jax.lax.associative_scan(
+        _first_defined,
+        (jnp.where(boundary, precision, 0.0), boundary),
+        reverse=True,
+        axis=1,
+    )
     delta_recall = tp_ap / jnp.maximum(npos_ap, 1)
     return jnp.sum(delta_recall * group_precision, axis=1)
 

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from vqwild_tpu.core.transfer import chunked_device_put
 from vqwild_tpu.ops.distance import _use_pallas, score_matrix
 from vqwild_tpu.ops.ranking import fused_chunk_metrics, gather_scores
 from vqwild_tpu.parallel.mesh import pad_to_multiple
@@ -52,7 +53,7 @@ class GalleryScorer:
             self._q_sharding = NamedSharding(mesh, P())  # queries replicate
         else:
             self.n_padded = self.n
-            self.g_dev = jnp.asarray(gallery_feats)
+            self.g_dev = chunked_device_put(np.asarray(gallery_feats))
             self._row_sharding = None
             self._q_sharding = None
         self._col_label_ids = None
@@ -93,7 +94,7 @@ class GalleryScorer:
                 np.asarray(feats, np.float32), self._q_sharding
             )
         else:
-            self._q_bank = jnp.asarray(np.asarray(feats, np.float32))
+            self._q_bank = chunked_device_put(np.asarray(feats, np.float32))
 
     def chunk_metrics(
         self,
