@@ -52,7 +52,14 @@ def chunked_device_put(
         p = jnp.asarray(x[lo : lo + rows_per])
         p.block_until_ready()  # drain the transport before the next message
         parts.append(p)
-    out = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    # jitted concat: an EAGER op on a remote-dispatch backend costs a full
+    # relay round-trip per op (and big eager ops are the stall window this
+    # module exists to avoid)
+    out = (
+        jax.jit(lambda *ps: jnp.concatenate(ps, axis=0))(*parts)
+        if len(parts) > 1
+        else parts[0]
+    )
     if block:
         out.block_until_ready()
     return out

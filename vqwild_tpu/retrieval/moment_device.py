@@ -86,6 +86,11 @@ def _bucket_plan(vidx: np.ndarray, n_videos: int):
     return buckets
 
 
+@functools.partial(jax.jit, static_argnames=("rows",))
+def _pad_rows(scores, rows: int):
+    return jnp.pad(scores, ((0, rows), (0, 0)))
+
+
 def _nms_sorted(ss, st, en, thresh: float):
     """Greedy temporal NMS over score-sorted members.
 
@@ -325,10 +330,9 @@ class DeviceMomentEngine:
                 raise ValueError(f"{len(vids)} ignore videos > {self.max_ignore}")
             ig[i, : len(vids)] = vids
         if b < self.chunk:
-            pad = jnp.full(
-                (self.chunk - b, scores.shape[1]), 0.0, scores.dtype
-            )
-            scores = jnp.concatenate([scores, pad], axis=0)
+            # jitted pad — eager ops cost a full round-trip on a
+            # remote-dispatch backend
+            scores = _pad_rows(scores, rows=self.chunk - b)
         ap, rhits, npos = _chunk_metrics(
             scores,
             jnp.asarray(ql),

@@ -108,7 +108,14 @@ class GalleryScorer:
     ):
         """One fused device dispatch for a query chunk (see
         ops.ranking.fused_chunk_metrics). q_rows [B,query_num] i32 rows into
-        the query bank; q_label_ids [B] i32; q_src_vids [B,K] i32 (pad -2)."""
+        the query bank; q_label_ids [B] i32; q_src_vids [B,K] i32 (pad -2).
+
+        The distance term uses the XLA expansion, not the Pallas kernel:
+        embedding the pallas_call in this larger program blows XLA:TPU
+        compile time 30x+ (190 s vs 6 s at [256, 7670]; unbounded at
+        [256, 10^5]) while the expansion hits the MXU identically and fuses
+        with the downstream metric math. Pallas stays on the standalone
+        ``scores`` path where it compiles in <1 s."""
         assert self._col_label_ids is not None, "set_columns() first"
         assert self._q_bank is not None, "set_query_bank() first"
         up = lambda a: (
@@ -128,7 +135,7 @@ class GalleryScorer:
             robust=robust,
             topk=topk,
             full_rank=full_rank,
-            use_pallas=_use_pallas(self.g_dev),
+            use_pallas=False,
         )
 
     def pad_columns(self, tp: np.ndarray, ignore: np.ndarray):
@@ -152,9 +159,9 @@ class GalleryScorer:
         rows = np.asarray(q_rows, np.int32)
         if self._q_sharding is not None:
             rows = jax.device_put(rows, self._q_sharding)
-        return _bank_scores(
-            self._q_bank, self.g_dev, rows, use_pallas=_use_pallas(self.g_dev)
-        )
+        # XLA expansion, not pallas: same compile-blowup rationale as
+        # chunk_metrics (the gather composes into the program)
+        return _bank_scores(self._q_bank, self.g_dev, rows, use_pallas=False)
 
     def scores(self, qfeats: np.ndarray, out_dtype=None):
         """[B, D] queries → [B, n_padded] scores (device array).
