@@ -201,6 +201,19 @@ class ARVRetrievalClip:
             scorer.set_query_bank(q_feats_all.astype(np.float32, copy=False))
             jax.block_until_ready(scorer.g_dev)
         k_src = max((len(qs) for qs in expanded), default=1)
+        # AOT-warm the chunk program for both occurring shapes so the rank
+        # loop never compiles (see GalleryScorer.warm_chunk_metrics)
+        with phase(self.timings, "compile_warm"):
+            wkw = dict(
+                r_at_n=self.r_at_n,
+                robust=self.robust_map,
+                topk=100 if diag is not None else 0,
+                full_rank=diag is not None,
+            )
+            for wb in {min(self.rank_chunk, len(expanded)),
+                       len(expanded) % self.rank_chunk or self.rank_chunk}:
+                if wb:
+                    scorer.warm_chunk_metrics(wb, self.query_num, k_src, **wkw)
         # without diagnostics the per-chunk outputs are [B]-sized: dispatch
         # every chunk first (async), then read back — chunks pipeline through
         # a high-latency host↔device link instead of paying RTT serially

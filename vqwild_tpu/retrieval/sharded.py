@@ -59,6 +59,7 @@ class GalleryScorer:
         self._col_label_ids = None
         self._col_vid_ids = None
         self._q_bank = None
+        self._warmed = {}
 
     # ---- device-resident eval state (id-based mask path) ----
 
@@ -123,20 +124,80 @@ class GalleryScorer:
             if self._q_sharding is not None
             else jnp.asarray(a)
         )
+        q_rows = np.asarray(q_rows, np.int32)
+        q_label_ids = np.asarray(q_label_ids, np.int32)
+        q_src_vids = np.asarray(q_src_vids, np.int32)
+        key = (
+            q_rows.shape[0],
+            q_rows.shape[1],
+            q_src_vids.shape[1],
+            tuple(r_at_n),
+            robust,
+            topk,
+            full_rank,
+        )
+        compiled = self._warmed.get(key)
+        if compiled is not None:
+            return compiled(
+                self._q_bank,
+                self.g_dev,
+                self._col_label_ids,
+                self._col_vid_ids,
+                up(q_rows),
+                up(q_label_ids),
+                up(q_src_vids),
+            )
         return fused_chunk_metrics(
             self._q_bank,
             self.g_dev,
             self._col_label_ids,
             self._col_vid_ids,
-            up(np.asarray(q_rows, np.int32)),
-            up(np.asarray(q_label_ids, np.int32)),
-            up(np.asarray(q_src_vids, np.int32)),
+            up(q_rows),
+            up(q_label_ids),
+            up(q_src_vids),
             r_at_n=tuple(r_at_n),
             robust=robust,
             topk=topk,
             full_rank=full_rank,
             use_pallas=False,
         )
+
+    def warm_chunk_metrics(
+        self,
+        b: int,
+        query_num: int,
+        k_src: int,
+        r_at_n=(30, 50, 100),
+        robust: bool = True,
+        topk: int = 0,
+        full_rank: bool = False,
+    ):
+        """AOT-compile the fused chunk program for one (b, query_num, k_src)
+        shape without moving any data (ShapeDtypeStruct avals) and keep the
+        executable; ``chunk_metrics`` then calls it directly. This keeps the
+        rank loop free of compile stalls: the AOT path compiles the same
+        program reliably in seconds where the dispatch-path compile has been
+        observed 15x slower behind the dev relay, and the executable also
+        lands in the persistent compile cache for later processes."""
+        assert self._q_bank is not None and self._col_label_ids is not None
+        sd = jax.ShapeDtypeStruct
+        key = (b, query_num, k_src, tuple(r_at_n), robust, topk, full_rank)
+        if key in self._warmed:
+            return
+        self._warmed[key] = fused_chunk_metrics.lower(
+            self._q_bank,
+            self.g_dev,
+            self._col_label_ids,
+            self._col_vid_ids,
+            sd((b, query_num), np.int32),
+            sd((b,), np.int32),
+            sd((b, k_src), np.int32),
+            r_at_n=tuple(r_at_n),
+            robust=robust,
+            topk=topk,
+            full_rank=full_rank,
+            use_pallas=False,
+        ).compile()
 
     def pad_columns(self, tp: np.ndarray, ignore: np.ndarray):
         """Extend per-query tp/ignore to padded gallery width (pads ignored)."""
