@@ -124,6 +124,11 @@ class ARVRetrievalTrimmed:
             scorer.set_columns(gal_labels, gal_vids)
             scorer.set_query_bank(None)
             jax.block_until_ready(scorer.g_dev)
+        log.info(
+            "gallery on device: %.1f MB in %.1fs",
+            scorer.g_dev.nbytes / 1e6,
+            self.timings["gallery_to_device"],
+        )
         k_src = max((len(qs) for qs in expanded), default=1)
         # AOT-warm the chunk program for both occurring shapes so the rank
         # loop never compiles (see GalleryScorer.warm_chunk_metrics)
@@ -138,6 +143,7 @@ class ARVRetrievalTrimmed:
                        len(expanded) % self.rank_chunk or self.rank_chunk}:
                 if wb:
                     scorer.warm_chunk_metrics(wb, self.query_num, k_src, **wkw)
+        log.info("chunk programs warmed in %.1fs", self.timings["compile_warm"])
         # without diagnostics the per-chunk outputs are [B]-sized: dispatch
         # every chunk first (async), then read back — chunks pipeline through
         # a high-latency host↔device link instead of paying RTT serially
