@@ -24,7 +24,7 @@ from vqwild_tpu.retrieval.aggregate import MetricAggregator
 from vqwild_tpu.retrieval.diagnostics import DiagnosticsCollector
 from vqwild_tpu.retrieval.features import FeatureExtractor
 from vqwild_tpu.retrieval.multiquery import generate_multi_query
-from vqwild_tpu.retrieval.sharded import GalleryScorer
+from vqwild_tpu.retrieval.sharded import GalleryScorer, warm_fused_chunk
 
 log = get_logger("retrieval.clip")
 
@@ -195,6 +195,33 @@ class ARVRetrievalClip:
         # and the query bank upload once; each chunk ships only i32 ids (KB)
         # instead of two [Q,G] bool masks (50 MB at this scale) — the masks
         # dominated the whole eval behind a slow host↔device link
+        k_src = max((len(qs) for qs in expanded), default=1)
+        wkw = dict(
+            r_at_n=self.r_at_n,
+            robust=self.robust_map,
+            topk=100 if diag is not None else 0,
+            full_rank=diag is not None,
+        )
+        wbs = {min(self.rank_chunk, len(expanded)),
+               len(expanded) % self.rank_chunk or self.rank_chunk} - {0}
+        if self.mesh is None:
+            # AOT-warm from avals BEFORE the upload: both occurring chunk
+            # shapes compile once, the rank loop never compiles, and the
+            # compile RPC is not queued behind a large upload (the observed
+            # stream-wedge recipe behind the dev relay)
+            with phase(self.timings, "compile_warm"):
+                for wb in wbs:
+                    warm_fused_chunk(
+                        (q_feats_all.shape[0], gal_feats.shape[1]),
+                        gal_feats.shape[0],
+                        wb,
+                        self.query_num,
+                        k_src,
+                        **wkw,
+                    )
+            log.info(
+                "chunk programs warmed in %.1fs", self.timings["compile_warm"]
+            )
         with phase(self.timings, "gallery_to_device"):
             scorer = GalleryScorer(gal_feats, mesh=self.mesh)
             scorer.set_columns(gal_label_ids, gal_vid_codes)
@@ -205,21 +232,9 @@ class ARVRetrievalClip:
             scorer.g_dev.nbytes / 1e6,
             self.timings["gallery_to_device"],
         )
-        k_src = max((len(qs) for qs in expanded), default=1)
-        # AOT-warm the chunk program for both occurring shapes so the rank
-        # loop never compiles (see GalleryScorer.warm_chunk_metrics)
         with phase(self.timings, "compile_warm"):
-            wkw = dict(
-                r_at_n=self.r_at_n,
-                robust=self.robust_map,
-                topk=100 if diag is not None else 0,
-                full_rank=diag is not None,
-            )
-            for wb in {min(self.rank_chunk, len(expanded)),
-                       len(expanded) % self.rank_chunk or self.rank_chunk}:
-                if wb:
-                    scorer.warm_chunk_metrics(wb, self.query_num, k_src, **wkw)
-        log.info("chunk programs warmed in %.1fs", self.timings["compile_warm"])
+            for wb in wbs:
+                scorer.warm_chunk_metrics(wb, self.query_num, k_src, **wkw)
         # without diagnostics the per-chunk outputs are [B]-sized: dispatch
         # every chunk first (async), then read back — chunks pipeline through
         # a high-latency host↔device link instead of paying RTT serially

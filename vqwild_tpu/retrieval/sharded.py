@@ -28,6 +28,62 @@ _bank_scores = functools.partial(
     jax.jit, static_argnames=("use_pallas",)
 )(gather_scores)
 
+# process-wide AOT executables for the fused chunk program, keyed by every
+# shape/option that shapes the HLO (single-device path; mesh-sharded
+# programs cache per-scorer because their avals carry shardings)
+_COMPILED_CHUNKS: dict = {}
+
+
+def warm_fused_chunk(
+    bank_shape,
+    gallery_rows: int,
+    b: int,
+    query_num: int,
+    k_src: int,
+    r_at_n,
+    robust: bool,
+    topk: int,
+    full_rank: bool,
+):
+    """AOT-compile the fused chunk program from avals alone (no data moves,
+    no device arrays needed) and cache the executable process-wide.
+
+    Compiling BEFORE the gallery upload matters behind the dev relay: a
+    200 MB upload immediately preceding the compile RPC is the observed
+    recipe for wedging the multiplexed stream; aval-based warm lets the
+    evaluator order compile → upload → loop."""
+    d = bank_shape[1]
+    key = (
+        tuple(bank_shape),
+        gallery_rows,
+        b,
+        query_num,
+        k_src,
+        tuple(r_at_n),
+        robust,
+        topk,
+        full_rank,
+    )
+    if key in _COMPILED_CHUNKS:
+        return _COMPILED_CHUNKS[key]
+    sd = jax.ShapeDtypeStruct
+    compiled = fused_chunk_metrics.lower(
+        sd(tuple(bank_shape), np.float32),
+        sd((gallery_rows, d), np.float32),
+        sd((gallery_rows,), np.int32),
+        sd((gallery_rows,), np.int32),
+        sd((b, query_num), np.int32),
+        sd((b,), np.int32),
+        sd((b, k_src), np.int32),
+        r_at_n=tuple(r_at_n),
+        robust=robust,
+        topk=topk,
+        full_rank=full_rank,
+        use_pallas=False,
+    ).compile()
+    _COMPILED_CHUNKS[key] = compiled
+    return compiled
+
 
 class GalleryScorer:
     """Holds the (optionally sharded) gallery on device; scores query chunks."""
@@ -173,17 +229,34 @@ class GalleryScorer:
         full_rank: bool = False,
     ):
         """AOT-compile the fused chunk program for one (b, query_num, k_src)
-        shape without moving any data (ShapeDtypeStruct avals) and keep the
-        executable; ``chunk_metrics`` then calls it directly. This keeps the
-        rank loop free of compile stalls: the AOT path compiles the same
-        program reliably in seconds where the dispatch-path compile has been
-        observed 15x slower behind the dev relay, and the executable also
-        lands in the persistent compile cache for later processes."""
+        shape and keep the executable; ``chunk_metrics`` then calls it
+        directly. This keeps the rank loop free of compile stalls: the AOT
+        path compiles the same program reliably in seconds where the
+        dispatch-path compile has been observed 15x slower behind the dev
+        relay, and the executable also lands in the persistent compile
+        cache for later processes.
+
+        Single-device scorers delegate to the aval-based module cache (also
+        reachable BEFORE any upload via ``warm_fused_chunk``); mesh-sharded
+        scorers lower from their concrete sharded arrays per instance."""
         assert self._q_bank is not None and self._col_label_ids is not None
-        sd = jax.ShapeDtypeStruct
         key = (b, query_num, k_src, tuple(r_at_n), robust, topk, full_rank)
         if key in self._warmed:
             return
+        if self.mesh is None:
+            self._warmed[key] = warm_fused_chunk(
+                self._q_bank.shape,
+                self.n_padded,
+                b,
+                query_num,
+                k_src,
+                r_at_n,
+                robust,
+                topk,
+                full_rank,
+            )
+            return
+        sd = jax.ShapeDtypeStruct
         self._warmed[key] = fused_chunk_metrics.lower(
             self._q_bank,
             self.g_dev,

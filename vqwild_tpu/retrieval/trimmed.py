@@ -25,7 +25,7 @@ from vqwild_tpu.retrieval.aggregate import MetricAggregator
 from vqwild_tpu.retrieval.diagnostics import DiagnosticsCollector
 from vqwild_tpu.retrieval.features import FeatureExtractor
 from vqwild_tpu.retrieval.multiquery import generate_multi_query
-from vqwild_tpu.retrieval.sharded import GalleryScorer
+from vqwild_tpu.retrieval.sharded import GalleryScorer, warm_fused_chunk
 
 log = get_logger("retrieval.trimmed")
 
@@ -119,6 +119,29 @@ class ARVRetrievalTrimmed:
         # gathers them on device, so per-chunk host→device traffic is only
         # the i32 row/label/source-video ids (KB, vs two [Q,G] bool masks —
         # which dominated the whole eval behind a slow host↔device link)
+        k_src = max((len(qs) for qs in expanded), default=1)
+        wkw = dict(
+            r_at_n=self.r_at_n,
+            robust=self.robust_map,
+            topk=100 if diag is not None else 0,
+            full_rank=diag is not None,
+        )
+        wbs = {min(self.rank_chunk, len(expanded)),
+               len(expanded) % self.rank_chunk or self.rank_chunk} - {0}
+        if self.mesh is None:
+            # AOT-warm from avals BEFORE the upload: both occurring chunk
+            # shapes compile once, the rank loop never compiles, and the
+            # compile RPC is not queued behind a large upload (the observed
+            # stream-wedge recipe behind the dev relay)
+            with phase(self.timings, "compile_warm"):
+                n = gallery_feats.shape[0]
+                for wb in wbs:
+                    warm_fused_chunk(
+                        gallery_feats.shape, n, wb, self.query_num, k_src, **wkw
+                    )
+            log.info(
+                "chunk programs warmed in %.1fs", self.timings["compile_warm"]
+            )
         with phase(self.timings, "gallery_to_device"):
             scorer = GalleryScorer(gallery_feats, mesh=self.mesh)
             scorer.set_columns(gal_labels, gal_vids)
@@ -129,21 +152,9 @@ class ARVRetrievalTrimmed:
             scorer.g_dev.nbytes / 1e6,
             self.timings["gallery_to_device"],
         )
-        k_src = max((len(qs) for qs in expanded), default=1)
-        # AOT-warm the chunk program for both occurring shapes so the rank
-        # loop never compiles (see GalleryScorer.warm_chunk_metrics)
         with phase(self.timings, "compile_warm"):
-            wkw = dict(
-                r_at_n=self.r_at_n,
-                robust=self.robust_map,
-                topk=100 if diag is not None else 0,
-                full_rank=diag is not None,
-            )
-            for wb in {min(self.rank_chunk, len(expanded)),
-                       len(expanded) % self.rank_chunk or self.rank_chunk}:
-                if wb:
-                    scorer.warm_chunk_metrics(wb, self.query_num, k_src, **wkw)
-        log.info("chunk programs warmed in %.1fs", self.timings["compile_warm"])
+            for wb in wbs:
+                scorer.warm_chunk_metrics(wb, self.query_num, k_src, **wkw)
         # without diagnostics the per-chunk outputs are [B]-sized: dispatch
         # every chunk first (async), then read back — chunks pipeline through
         # a high-latency host↔device link instead of paying RTT serially
