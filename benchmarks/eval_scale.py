@@ -11,9 +11,13 @@ Usage:  python benchmarks/eval_scale.py [--moment_queries 100] [--platform cpu]
 """
 
 import argparse
+import faulthandler
 import os
+import signal
 import sys
 import time
+
+faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -26,6 +30,11 @@ def main():
                    help="subsample of moment queries (full QxG scoring is matmul-bound)")
     p.add_argument("--platform", default="")
     p.add_argument("--skip_moment", action="store_true")
+    p.add_argument("--phases", default="trimmed,clip,moment",
+                   help="comma subset; run each phase in its own process "
+                        "for a fresh relay stream (compile RPCs have been "
+                        "observed to wedge only in processes that already "
+                        "ran a prior eval phase)")
     p.add_argument("--json_out", default="",
                    help="write totals + per-phase moment timings as JSON")
     args = p.parse_args()
@@ -101,23 +110,27 @@ def main():
     def phases(ev):
         return {k: round(v, 2) for k, v in sorted(ev.timings.items())}
 
-    t0 = time.time()
-    ev_t = ARVRetrievalTrimmed(db, spec, extractor(), eval_split="testing")
-    r = ev_t.evaluation()
-    report["trimmed_s"] = round(time.time() - t0, 2)
-    report["trimmed_phases_s"] = phases(ev_t)
-    print(f"TRIMMED  full-scale: {report['trimmed_s']:.1f}s  ap={r['ap']:.4f}", flush=True)
-    print(f"TRIMMED phases: {report['trimmed_phases_s']}", flush=True)
+    run = args.phases.split(",")
 
-    t0 = time.time()
-    ev_c = ARVRetrievalClip(mdb, spec, extractor(), check_completeness=False)
-    rc = ev_c.evaluation()
-    report["clip_s"] = round(time.time() - t0, 2)
-    report["clip_phases_s"] = phases(ev_c)
-    print(f"CLIP     full-scale: {report['clip_s']:.1f}s  ap={rc['ap']:.4f}", flush=True)
-    print(f"CLIP phases: {report['clip_phases_s']}", flush=True)
+    if "trimmed" in run:
+        t0 = time.time()
+        ev_t = ARVRetrievalTrimmed(db, spec, extractor(), eval_split="testing")
+        r = ev_t.evaluation()
+        report["trimmed_s"] = round(time.time() - t0, 2)
+        report["trimmed_phases_s"] = phases(ev_t)
+        print(f"TRIMMED  full-scale: {report['trimmed_s']:.1f}s  ap={r['ap']:.4f}", flush=True)
+        print(f"TRIMMED phases: {report['trimmed_phases_s']}", flush=True)
 
-    if not args.skip_moment:
+    if "clip" in run:
+        t0 = time.time()
+        ev_c = ARVRetrievalClip(mdb, spec, extractor(), check_completeness=False)
+        rc = ev_c.evaluation()
+        report["clip_s"] = round(time.time() - t0, 2)
+        report["clip_phases_s"] = phases(ev_c)
+        print(f"CLIP     full-scale: {report['clip_s']:.1f}s  ap={rc['ap']:.4f}", flush=True)
+        print(f"CLIP phases: {report['clip_phases_s']}", flush=True)
+
+    if "moment" in run and not args.skip_moment:
         t0 = time.time()
         ev = ARVRetrievalMoment(mdb, spec, extractor(), workers=os.cpu_count() or 8)
         if args.moment_queries:
@@ -138,8 +151,15 @@ def main():
     if args.json_out:
         import json
 
+        # merge into an existing artifact so each phase can run in its own
+        # process (fresh relay stream per phase; see --phases)
+        merged = {}
+        if os.path.isfile(args.json_out) and len(run) < 3:
+            with open(args.json_out) as f:
+                merged = json.load(f)
+        merged.update(report)
         with open(args.json_out, "w") as f:
-            json.dump(report, f, indent=1)
+            json.dump(merged, f, indent=1)
         print(f"wrote {args.json_out}", flush=True)
 
 
