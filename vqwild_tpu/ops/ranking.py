@@ -44,31 +44,37 @@ def ap_from_sorted(s_sorted, tp_ap, valid, nvalid):
     idx = jnp.arange(g)[None, :]
     npos_ap = jnp.sum(tp_ap, axis=1, keepdims=True)
     cum_tp = jnp.cumsum(tp_ap, axis=1)
-    cnt = idx + 1  # within the valid prefix, count == position+1
-    precision = cum_tp / cnt
     # distinct-score group boundaries (last item of each tie group)
     nxt = jnp.concatenate(
         [s_sorted[:, 1:], jnp.full((q, 1), -jnp.inf, s_sorted.dtype)], axis=1
     )
     boundary = valid & ((nxt != s_sorted) | (idx == nvalid - 1))
-    # backfill each item with its group-boundary precision via a reverse
-    # "first-defined" scan carrying the VALUE. (An index scan + gather is
-    # equivalent, but XLA:TPU fuses the gather's index operand with the whole
-    # scan DAG — recomputing the scan per gathered element; at G≈10^5 that
-    # fusion never finishes. Items past the last boundary backfill 0, which
-    # only occurs in the invalid tail where delta_recall is already 0.)
-    def _first_defined(a, b):
-        # reverse-mode scan passes (suffix accumulation, current element);
-        # the current (earlier-in-row) element wins when defined
-        av, ah = a
-        bv, bh = b
-        return jnp.where(bh, bv, av), ah | bh
-
-    group_precision, _ = jax.lax.associative_scan(
-        _first_defined,
-        (jnp.where(boundary, precision, 0.0), boundary),
-        reverse=True,
-        axis=1,
+    # Backfill each item with its group-boundary precision. Each item needs
+    # precision at b(i) = the first boundary at-or-after i (its tie group's
+    # last item). Both candidate implementations of a reverse "first-defined"
+    # scan are XLA:TPU pathologies at this scale: an index scan + gather
+    # fuses the gather's index operand with the whole scan DAG (recomputed
+    # per gathered element — never finishes at G≈10^5), and a value-carrying
+    # associative_scan with a custom combinator makes *compilation*
+    # superlinear when a lax.sort feeds it in the same module (60 s at 32 k,
+    # unbounded at 10^6 — the moment eval's scale). Instead exploit
+    # monotonicity: cum_tp and position are nondecreasing along the row, so
+    # the values AT b(i) are reverse cummins of the boundary-masked streams —
+    # and lax.cummin is a native cumulative op that compiles like cumsum.
+    # precision[b] = cum_tp[b] / (b+1) — the same int→f32 true divide the
+    # everywhere-precision formulation used, evaluated at the same operands.
+    big = jnp.int32(jnp.iinfo(jnp.int32).max)
+    bpos_min = jax.lax.cummin(
+        jnp.where(boundary, idx, big).astype(jnp.int32), axis=1, reverse=True
+    )
+    bcum_min = jax.lax.cummin(
+        jnp.where(boundary, cum_tp, big).astype(jnp.int32), axis=1, reverse=True
+    )
+    defined = bpos_min < big
+    # items past the last boundary backfill 0, which only occurs in the
+    # invalid tail where delta_recall is already 0
+    group_precision = jnp.where(
+        defined, bcum_min / jnp.where(defined, bpos_min + 1, 1), 0.0
     )
     delta_recall = tp_ap / jnp.maximum(npos_ap, 1)
     return jnp.sum(delta_recall * group_precision, axis=1)
