@@ -92,10 +92,27 @@ def _metrics_from_masks(
     """Shared metric core; see ranked_retrieval_metrics for the contract."""
     q, g = scores.shape
     s = jnp.where(ignore, -jnp.inf, scores.astype(jnp.float32))
-    order = jnp.argsort(-s, axis=1, stable=True)
-    s_sorted = jnp.take_along_axis(s, order, axis=1)
-    valid = jnp.take_along_axis(~ignore, order, axis=1)
-    tp_sorted = jnp.take_along_axis(tp & ~ignore, order, axis=1)
+    # One stable variadic sort carrying the label/validity payloads instead
+    # of argsort + take_along_axis gathers: XLA:TPU fuses each gather's index
+    # operand with the sort DAG, and at G≈10^5 the fused program simply never
+    # finishes at runtime (the clip eval's [256, 97829] chunk hung >8 min on
+    # a program whose payload-sort form executes in seconds — the moment
+    # engine runs the same shape of sort at [32, 2.35M] in 2.8 s/chunk).
+    # Ordering is identical to np.argsort(-s, kind="stable"): same -s key,
+    # ascending, stable, and s_sorted = -(-s) restores the original bits
+    # (IEEE total order puts -0.0 keys before +0.0 exactly as argsort did).
+    operands = [-s, tp & ~ignore, ~ignore]
+    if topk:
+        operands.append(
+            jnp.broadcast_to(jnp.arange(g, dtype=jnp.int32)[None, :], (q, g))
+        )
+    sorted_ops = jax.lax.sort(
+        tuple(operands), dimension=1, is_stable=True, num_keys=1
+    )
+    s_sorted = -sorted_ops[0]
+    tp_sorted = sorted_ops[1]
+    valid = sorted_ops[2]
+    order = sorted_ops[3] if topk else None
 
     idx = jnp.arange(g)[None, :]
     nvalid = jnp.sum(valid, axis=1, keepdims=True)
