@@ -320,7 +320,8 @@ def main():
     build_dataset(args.data_dir)
     phases = args.phases.split(",")
     workers = [int(w) for w in args.workers.split(",")]
-    report = {"batch_clips": BATCH * 3, "frames": FRAMES, "crop": CROP}
+    report = {"batch_clips": BATCH * 3, "frames": FRAMES, "crop": CROP,
+              "host_cpus": os.cpu_count(), "batches": args.batches}
 
     if "loader" in phases:
         rows = []
@@ -335,6 +336,13 @@ def main():
         report["step"] = bench_step()
         log(f"step {report['step']}")
     if "e2e" in phases:
+        # loader/step rows may come from an earlier process's artifact
+        if args.json_out and os.path.isfile(args.json_out):
+            with open(args.json_out) as f:
+                prior = json.load(f)
+            for k in ("loader", "step"):
+                if k not in report and k in prior:
+                    report[k] = prior[k]
         rows = []
         best_w = max(workers)
         for kind in args.stores.split(","):
@@ -359,8 +367,15 @@ def main():
                     )
     print(json.dumps(report))
     if args.json_out:
+        # merge into an existing artifact so each phase can run in its own
+        # process (the TPU phases ride the relay; loader is host-only)
+        merged = {}
+        if os.path.isfile(args.json_out):
+            with open(args.json_out) as f:
+                merged = json.load(f)
+        merged.update(report)
         with open(args.json_out, "w") as f:
-            json.dump(report, f, indent=1)
+            json.dump(merged, f, indent=1)
         log(f"wrote {args.json_out}")
 
 
