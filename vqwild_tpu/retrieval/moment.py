@@ -399,6 +399,13 @@ class ARVRetrievalMoment:
             and not self.collect_diagnostics
             and self.mesh is None
             and len(feats) > 0
+            # the device engine exists to avoid the [Q, ~10^6] score
+            # readback over a device link; on the CPU backend there is no
+            # link to avoid and its padded-bucket NMS costs ~5x the
+            # native/numpy host postprocess at production scale
+            # (benchmarks/EVAL_SCALE_r04_cpu.json: 815 s vs r03's 156 s
+            # at 128 queries) — only auto-select it on accelerators
+            and jax.default_backend() != "cpu"
         )
         if use_device:
             return self._evaluation_device(
