@@ -212,7 +212,31 @@ def bench_jax() -> float:
         np.asarray(one_query(q1))
         lats.append(time.time() - t0)
     log(f"p50 query latency (1x10k gallery, rank+AP): {sorted(lats)[5]*1000:.1f} ms")
-    return cps, round(dev_cps, 1), round(mfu_pct, 1), round(int8_cps, 1)
+
+    # measured host↔device link bandwidth: the headline pipelined `value`
+    # is max(transfer, compute) and has tracked the dev relay's health
+    # round-over-round (90.5 → 75.3 → 71.4 on identical code) — report the
+    # link so the number is interpretable
+    buf = rng2.integers(0, 255, (16 << 20,), dtype=np.uint8)  # 16 MiB
+    up_mbps = down_mbps = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        d = jax.device_put(buf)
+        jax.block_until_ready(d)
+        up_mbps = max(up_mbps, 16.0 / (time.time() - t0))
+        t0 = time.time()
+        np.asarray(d)
+        down_mbps = max(down_mbps, 16.0 / (time.time() - t0))
+        del d
+    log(f"link bandwidth: up {up_mbps:.1f} MiB/s, down {down_mbps:.1f} MiB/s")
+    return (
+        cps,
+        round(dev_cps, 1),
+        round(mfu_pct, 1),
+        round(int8_cps, 1),
+        round(up_mbps, 1),
+        round(down_mbps, 1),
+    )
 
 
 def bench_train() -> dict:
@@ -363,7 +387,7 @@ def bench_torch_reference() -> float:
 
 
 def main():
-    value, dev_cps, mfu_pct, int8_cps = bench_jax()
+    value, dev_cps, mfu_pct, int8_cps, up_mbps, down_mbps = bench_jax()
     try:
         train = bench_train()
     except Exception as e:  # train bench must never sink the headline metric
@@ -381,6 +405,8 @@ def main():
                 "device_resident_cps": dev_cps,
                 "mfu_pct": mfu_pct,
                 "device_resident_cps_int8": int8_cps,
+                "link_up_mibps": up_mbps,
+                "link_down_mibps": down_mbps,
                 **train,
             }
         )

@@ -30,6 +30,9 @@ def main():
                    help="subsample of moment queries (full QxG scoring is matmul-bound)")
     p.add_argument("--platform", default="")
     p.add_argument("--skip_moment", action="store_true")
+    p.add_argument("--moment_engine", default="auto",
+                   choices=["auto", "device", "host"],
+                   help="moment postprocess engine (retrieval/moment.py)")
     p.add_argument("--phases", default="trimmed,clip,moment",
                    help="comma subset; run each phase in its own process "
                         "for a fresh relay stream (compile RPCs have been "
@@ -102,9 +105,13 @@ def main():
         )
 
     print(f"devices: {jax.devices()}", flush=True)
+    # host identity in every artifact: cross-round rows are incomparable
+    # without it (r04's 1-core box made the same phase 4x slower than r03's)
     report = {
         "platform": jax.devices()[0].platform,
         "meta_split": args.meta_split,
+        "host_cpu_signature": host_cpu_signature(),
+        "host_cpus": os.cpu_count(),
     }
 
     def phases(ev):
@@ -117,6 +124,7 @@ def main():
         ev_t = ARVRetrievalTrimmed(db, spec, extractor(), eval_split="testing")
         r = ev_t.evaluation()
         report["trimmed_s"] = round(time.time() - t0, 2)
+        report["trimmed_ap"] = round(float(r["ap"]), 6)
         report["trimmed_phases_s"] = phases(ev_t)
         print(f"TRIMMED  full-scale: {report['trimmed_s']:.1f}s  ap={r['ap']:.4f}", flush=True)
         print(f"TRIMMED phases: {report['trimmed_phases_s']}", flush=True)
@@ -126,18 +134,28 @@ def main():
         ev_c = ARVRetrievalClip(mdb, spec, extractor(), check_completeness=False)
         rc = ev_c.evaluation()
         report["clip_s"] = round(time.time() - t0, 2)
+        report["clip_ap"] = round(float(rc["ap"]), 6)
         report["clip_phases_s"] = phases(ev_c)
         print(f"CLIP     full-scale: {report['clip_s']:.1f}s  ap={rc['ap']:.4f}", flush=True)
         print(f"CLIP phases: {report['clip_phases_s']}", flush=True)
 
     if "moment" in run and not args.skip_moment:
         t0 = time.time()
-        ev = ARVRetrievalMoment(mdb, spec, extractor(), workers=os.cpu_count() or 8)
+        ev = ARVRetrievalMoment(
+            mdb,
+            spec,
+            extractor(),
+            workers=os.cpu_count() or 8,
+            engine=args.moment_engine,
+        )
         if args.moment_queries:
             ev.queries = ev.queries[: args.moment_queries]
         rm = ev.evaluation()
         report["moment_s"] = round(time.time() - t0, 2)
         report["moment_queries"] = len(ev.queries)
+        report["moment_engine_requested"] = args.moment_engine
+        report["moment_engine"] = ev.resolved_engine
+        report["moment_ap"] = round(float(rm["map05"]["ap"]), 6)
         report["moment_phases_s"] = {
             k: round(v, 2) for k, v in sorted(ev.timings.items())
         }

@@ -130,6 +130,64 @@ class TestDeviceMomentEngine:
             real = (b["gather"] < len(vidx)).sum(axis=1)
             assert (real <= w).all() and (real >= 1).all()
 
+    def test_mesh_sharded_engine_matches_host(self):
+        """Device engine over an 8-device mesh (query-row-sharded chunks,
+        replicated bucket constants) ≡ the single-host postprocess."""
+        from vqwild_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(23)
+        vidx, s_sec, e_sec, labels, h_iou = _random_world(rng, 21)
+        g = len(vidx)
+        n_dev = len(jax.devices())
+        mesh = make_mesh((n_dev,), ("data",))
+        engine = DeviceMomentEngine(
+            vidx, s_sec, e_sec, labels, h_iou, 21,
+            chunk=2 * n_dev, max_ignore=4, mesh=mesh,
+        )
+        assert engine.chunk % n_dev == 0
+        q_names = (["a", "b", "c"] * 6)[: 2 * n_dev]
+        scores = rng.standard_normal((len(q_names), g)).astype(np.float32)
+        scores[1, :6] = 0.5  # exact ties across the shard boundary
+        ig = [list(rng.choice(21, rng.integers(0, 4), replace=False))
+              for _ in q_names]
+        # feed mesh-committed scores like the sharded GalleryScorer would:
+        # columns padded to the shard multiple (engine slices them off)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        pad_g = (-g) % n_dev
+        scores_padded = np.pad(scores, ((0, 0), (0, pad_g)))
+        scores_dev = jax.device_put(
+            scores_padded, NamedSharding(mesh, P(None, "data"))
+        )
+        q_ids = [engine.label_id(l) for l in q_names]
+        ap_d, rec_d = engine.metrics(scores_dev, q_ids, ig, (3, 5, 100), True)
+        for qi, qname in enumerate(q_names):
+            iou_q = np.where(labels == qname, h_iou, 0.0)
+            ignore_q = np.isin(vidx, ig[qi])
+            ap_h, rec_h = moment_query_metrics(
+                scores[qi], vidx, s_sec, e_sec, iou_q, ignore_q,
+                0.5, 0.5, (3, 5, 100), True,
+            )
+            assert ap_d[qi] == pytest.approx(ap_h, abs=2e-6), f"query {qi}"
+            np.testing.assert_allclose(rec_d[qi], rec_h, atol=1e-12)
+
+    def test_mesh_partial_chunk(self):
+        """A final partial chunk pads to the mesh-divisible chunk size."""
+        from vqwild_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(29)
+        vidx, s_sec, e_sec, labels, h_iou = _random_world(rng, 7)
+        g = len(vidx)
+        n_dev = len(jax.devices())
+        mesh = make_mesh((n_dev,), ("data",))
+        engine = DeviceMomentEngine(
+            vidx, s_sec, e_sec, labels, h_iou, 7,
+            chunk=n_dev, max_ignore=4, mesh=mesh,
+        )
+        scores = rng.standard_normal((3, g)).astype(np.float32)
+        _compare(engine, scores, ["a", "b", "c"], [[0], [], [1]],
+                 vidx, s_sec, e_sec, labels, h_iou)
+
     def test_engine_selection_equality_through_evaluator(self, tmp_path):
         """ARVRetrievalMoment(engine='device') ≡ engine='host' on a tiny
         world, full metric dict."""

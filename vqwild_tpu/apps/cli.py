@@ -162,6 +162,13 @@ def parse(argv=None) -> ExperimentConfig:
                    help="moment eval: dtype of the device→host score "
                         "transfer; bfloat16 halves the dominant readback "
                         "bytes at production scale (retrieval/moment.py)")
+    p.add_argument("--moment_engine", choices=["auto", "device", "host"],
+                   default="auto",
+                   help="moment postprocess engine: 'device' keeps scores "
+                        "on the accelerator and reads back per-query "
+                        "scalars; 'host' forces the native-C++/numpy "
+                        "postprocess; 'auto' picks device on accelerators "
+                        "(retrieval/moment.py)")
     p.add_argument("--nonfinite_policy", choices=["halt", "warn"], default="halt",
                    help="NaN/Inf-loss failure detection: halt raises at the "
                         "next loss sync (resume from the last checkpoint); "
@@ -228,6 +235,7 @@ def parse(argv=None) -> ExperimentConfig:
         trunk_quant=("int8_const" if args.trunk_int8_const
                      else "int8" if args.trunk_int8 else None),
         score_readback_dtype=args.score_readback_dtype,
+        moment_engine=args.moment_engine,
     )
     cfg = ExperimentConfig(data=data, model=model, train=train, eval=ev, run_dir=args.run_dir)
     cfg_extra = dict(
@@ -474,7 +482,7 @@ def run_evaluation(cfg, extra, run_dir: RunDir):
                 mesh=mesh,
             ).evaluation()
         if want_moment:
-            results["moment"] = ARVRetrievalMoment(
+            mom_ev = ARVRetrievalMoment(
                 mdb,
                 spec,
                 extractor,
@@ -493,7 +501,12 @@ def run_evaluation(cfg, extra, run_dir: RunDir):
                 collect_diagnostics=cfg.eval.collect_diagnostics,
                 mesh=mesh,
                 score_readback_dtype=cfg.eval.score_readback_dtype,
-            ).evaluation()
+                engine=cfg.eval.moment_engine,
+            )
+            results["moment"] = mom_ev.evaluation()
+            # artifacts must be reproducible from their own metadata
+            results["moment"]["engine"] = mom_ev.resolved_engine
+            log.info("moment postprocess engine: %s", mom_ev.resolved_engine)
     run_dir.write_metrics("evaluation", results)
     for name, r in results.items():
         ap = r.get("ap") if "ap" in r else r.get("map05", {}).get("ap")

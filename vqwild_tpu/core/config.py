@@ -111,6 +111,8 @@ class EvalConfig:
     # moment eval: dtype of the device→host score transfer ("bfloat16"
     # halves the dominant readback bytes; retrieval/moment.py)
     score_readback_dtype: str = "float32"
+    # moment postprocess engine: auto | device | host (retrieval/moment.py)
+    moment_engine: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -20,6 +20,7 @@ the accelerator fed (replacing torch DataLoader workers, main.py:96-101).
 from __future__ import annotations
 
 import dataclasses
+import os
 import queue
 import threading
 from typing import Dict, Iterator, List, Optional
@@ -181,7 +182,11 @@ class PrefetchLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.steps_per_epoch = steps_per_epoch or max(1, len(dataset) // batch_size)
-        self.workers = max(1, workers)
+        # cap at the host's core count: measured negative scaling past it
+        # (benchmarks/INPUT_PIPE_r04.json — 1,291 → 714 clips/s going 1 → 4
+        # workers on a 1-core host; the packed stores are GIL-releasing
+        # memmap reads, so extra threads only contend)
+        self.workers = max(1, min(workers, os.cpu_count() or workers))
         self.seed = seed
         self.prefetch = prefetch
 

@@ -19,12 +19,14 @@ Faithfully-preserved upstream quirks:
 The per-query postprocess replaces the reference's fork-based multiprocessing
 pool (cpu_count()//4 workers) with one of three engines:
 
-* **device** (default): NMS + grouped-order metrics computed on the TPU
-  (retrieval/moment_device.py) — the [Q, ~10^6] score matrix never crosses
-  to the host; the readback is one AP + R@N row per query. This removed the
-  dominant production-scale cost (226 s of 334 s was score transfer in r3).
+* **device** (default on accelerators): NMS + grouped-order metrics computed
+  on the TPU (retrieval/moment_device.py) — the [Q, ~10^6] score matrix never
+  crosses to the host; the readback is one AP + R@N row per query. This
+  removed the dominant production-scale cost (226 s of 334 s was score
+  transfer in r3). Mesh-sharded galleries reshard into its query-parallel
+  layout (all-to-all over ICI), so it stays auto-selected multi-chip.
 * **native**: host postprocess in the C++ thread-pool engine
-  (vqwild_tpu/native) — used for mesh-sharded galleries.
+  (vqwild_tpu/native) — the CPU-backend default (no device link to avoid).
 * **numpy threads**: pure-python fallback, also the diagnostics path (it is
   the only engine that exposes the per-query kept stream for cm_dict).
 """
@@ -204,14 +206,16 @@ class ARVRetrievalMoment:
             raise ValueError(f"unknown score_readback_dtype {score_readback_dtype!r}")
         self.score_readback_dtype = score_readback_dtype
         # postprocess engine: "device" keeps the [Q, G] scores on device and
-        # reads back only per-query scalars (retrieval/moment_device.py);
+        # reads back only per-query scalars (retrieval/moment_device.py;
+        # mesh-sharded galleries reshard into its query-parallel layout);
         # "host" ships scores to the native-C++/numpy postprocess. "auto"
-        # picks device except when diagnostics need the per-query kept stream
-        # or the gallery is mesh-sharded (the host engines are the
-        # long-validated path for the multi-chip dryrun).
+        # picks device on accelerators except when diagnostics need the
+        # per-query kept stream or a video overflows the engine's bucket cap.
         if engine not in ("auto", "device", "host"):
             raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
+        # resolved by evaluation(): "device" | "native" | "numpy"
+        self.resolved_engine = ""
         self.possible_classes = set(spec.possible_classes("testing"))
         self.queries: List[VideoRecord] = db.nonnoise_queries()
         self.gallery_videos: List[VideoRecord] = db.gallery
@@ -314,6 +318,7 @@ class ARVRetrievalMoment:
                 tiou_threshold=self.tiou_threshold,
                 chunk=min(self.rank_chunk, 32),
                 max_ignore=max(8, 1 + self.multi_query_extra),
+                mesh=self.mesh,
             )
         video_id_to_idx = {v.video_id: i for i, v in enumerate(self.gallery_videos)}
         expanded = generate_multi_query(
@@ -397,7 +402,6 @@ class ARVRetrievalMoment:
         use_device = self.engine == "device" or (
             self.engine == "auto"
             and not self.collect_diagnostics
-            and self.mesh is None
             and len(feats) > 0
             # the device engine exists to avoid the [Q, ~10^6] score
             # readback over a device link; on the CPU backend there is no
@@ -407,7 +411,23 @@ class ARVRetrievalMoment:
             # at 128 queries) — only auto-select it on accelerators
             and jax.default_backend() != "cpu"
         )
+        if use_device and len(feats):
+            # device-engine hard limit: its widest NMS bucket holds 16,384
+            # moments per video (moment_device._BUCKET_WIDTHS; the real
+            # 100_20_80 untrimmed DB maxes at 3,549 windows/video, p99 897 —
+            # a ~47-minute video would cross it). Oversize videos fall back
+            # to the host postprocess instead of raising.
+            max_per_video = int(np.bincount(vidx).max()) if len(vidx) else 0
+            if max_per_video > 16384:
+                log.warning(
+                    "device moment engine disabled: a video has %d moments "
+                    "> the 16384 bucket cap; falling back to the host "
+                    "postprocess",
+                    max_per_video,
+                )
+                use_device = False
         if use_device:
+            self.resolved_engine = "device"
             return self._evaluation_device(
                 queries, q_feats_all, feats, vidx, s_sec, e_sec, h_label, h_iou
             )
@@ -421,6 +441,7 @@ class ARVRetrievalMoment:
         # the native engine returns only ap/recalls; diagnostics need the
         # per-query kept stream, so they ride the numpy/thread path
         use_native = use_native and not self.collect_diagnostics
+        self.resolved_engine = "native" if use_native else "numpy"
         if use_native:
             label_ids = {"": -1}
             for lab in list(h_label) + [q.label for q in queries]:

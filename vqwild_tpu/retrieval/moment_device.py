@@ -53,7 +53,11 @@ from vqwild_tpu.ops.ranking import ap_from_sorted
 log = get_logger("retrieval.moment_device")
 
 # bucket pad widths: ~1.33x steps keep padding waste low while bounding the
-# number of compiled NMS loops (one per non-empty bucket)
+# number of compiled NMS loops (one per non-empty bucket). The 16,384 ceiling
+# is a hard per-video limit — the real 100_20_80 untrimmed DB maxes at 3,549
+# windows/video (p99 897); a ~47-minute video would cross it, so the caller
+# (retrieval/moment.py) falls back to the host postprocess for oversize
+# galleries instead of letting _bucket_plan raise.
 _BUCKET_WIDTHS = (
     16, 32, 48, 64, 96, 128, 192, 256, 384, 512,
     768, 1024, 1536, 2048, 3072, 4096, 8192, 16384,
@@ -258,10 +262,32 @@ class DeviceMomentEngine:
         tiou_threshold: float = 0.5,
         chunk: int = 32,
         max_ignore: int = 8,
+        mesh=None,
     ):
         self.n_moments = len(vidx)
-        self.chunk = chunk
         self.max_ignore = max_ignore
+        # mesh-sharded mode: gallery constants replicate over the mesh and the
+        # query-chunk axis shards over ALL mesh axes — each device runs the
+        # NMS/grouped-order program on chunk/n_devices queries with full score
+        # rows. The scorer's column-sharded [B, G] scores are resharded
+        # (all-to-all over ICI) into this row layout by a jitted identity.
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axes = tuple(mesh.axis_names)
+            n_dev = 1
+            for a in axes:
+                n_dev *= mesh.shape[a]
+            chunk = max(n_dev, (chunk // n_dev) * n_dev)  # divisible chunks
+            self._repl = NamedSharding(mesh, P())
+            self._row2d = NamedSharding(mesh, P(axes if len(axes) > 1 else axes[0], None))
+            self._row1d = NamedSharding(mesh, P(axes if len(axes) > 1 else axes[0]))
+            _const = lambda x: jax.device_put(np.asarray(x), self._repl)
+        else:
+            self._repl = self._row2d = self._row1d = None
+            _const = jnp.asarray
+        self.chunk = chunk
         vidx = np.asarray(vidx, np.int64)
         # label vocabulary: gallery hit labels now, query labels on demand
         self._label_ids = {"": -1}
@@ -283,12 +309,12 @@ class DeviceMomentEngine:
             hok = np.where(pad, False, hit_ok[np.minimum(gi, self.n_moments - 1)])
             buckets.append(
                 dict(
-                    gather=jnp.asarray(gi.astype(np.int32)),
-                    vglob=jnp.asarray(b["vglob"]),
-                    starts=jnp.asarray(starts),
-                    ends=jnp.asarray(ends),
-                    labels=jnp.asarray(labels.astype(np.int32)),
-                    hit_ok=jnp.asarray(hok),
+                    gather=_const(gi.astype(np.int32)),
+                    vglob=_const(b["vglob"]),
+                    starts=_const(starts),
+                    ends=_const(ends),
+                    labels=_const(labels.astype(np.int32)),
+                    hit_ok=_const(hok),
                 )
             )
         self._buckets = tuple(buckets)
@@ -333,10 +359,20 @@ class DeviceMomentEngine:
             # jitted pad — eager ops cost a full round-trip on a
             # remote-dispatch backend
             scores = _pad_rows(scores, rows=self.chunk - b)
+        if self.mesh is not None:
+            # reshard column-sharded scorer output → query-row-sharded
+            # (all-to-all over ICI); small arrays land pre-sharded so the
+            # whole chunk program runs data-parallel over queries
+            scores = jax.device_put(scores, self._row2d)
+            ql_dev = jax.device_put(ql, self._row1d)
+            ig_dev = jax.device_put(ig, self._row2d)
+        else:
+            ql_dev = jnp.asarray(ql)
+            ig_dev = jnp.asarray(ig)
         ap, rhits, npos = _chunk_metrics(
             scores,
-            jnp.asarray(ql),
-            jnp.asarray(ig),
+            ql_dev,
+            ig_dev,
             self._buckets,
             n_moments=self.n_moments,
             nms_threshold=self._nms_threshold,
