@@ -345,6 +345,7 @@ class ARVRetrievalMoment:
         # dispatch all chunks first (outputs are [B]-sized device arrays),
         # then read back — chunks pipeline through a high-latency link
         staged = []
+        n_chunks = -(-len(expanded) // engine.chunk)
         for cstart in range(0, len(expanded), engine.chunk):
             batch = expanded[cstart : cstart + engine.chunk]
             q_rows = np.full((len(batch), self.query_num), -1, np.int32)
@@ -375,9 +376,13 @@ class ARVRetrievalMoment:
                         ),
                     )
                 )
+            if len(staged) % 8 == 0 or len(staged) == n_chunks:
+                log.info("moment chunk %d/%d dispatched", len(staged), n_chunks)
         with _phase(self.timings, "metrics_readback"):
-            for batch, handle in staged:
+            for ci, (batch, handle) in enumerate(staged, 1):
                 aps, recalls = engine.finalize(handle)
+                if ci % 8 == 0 or ci == n_chunks:
+                    log.info("moment chunk %d/%d read back", ci, n_chunks)
                 for bi, qs in enumerate(batch):
                     q = queries[qs[0]]
                     agg.add(
