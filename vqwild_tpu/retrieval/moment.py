@@ -342,9 +342,33 @@ class ARVRetrievalMoment:
             # [B, query_num] i32 rows cross to device, not [B, D] features
             scorer.set_query_bank(q_feats_all.astype(np.float32, copy=False))
             jax.block_until_ready(scorer.g_dev)
-        # dispatch all chunks first (outputs are [B]-sized device arrays),
-        # then read back — chunks pipeline through a high-latency link
-        staged = []
+        # bounded in-flight pipeline: keep up to `inflight` chunks dispatched
+        # ahead of the readback cursor. Unbounded dispatch-then-readback made
+        # the first finalize block silently behind the WHOLE device queue
+        # (139 chunks x seconds of NMS at G~1.6e6 — the stall watchdog killed
+        # a healthy full-DB run); a sliding window keeps the link busy, emits
+        # steady progress, and bounds staged device outputs.
+        inflight = 16
+        staged: list = []
+        read_cursor = 0
+
+        def _finalize_one():
+            nonlocal read_cursor
+            batch, handle = staged[read_cursor]
+            staged[read_cursor] = None  # free the device handles
+            read_cursor += 1
+            aps, recalls = engine.finalize(handle)
+            if read_cursor % 8 == 0 or read_cursor == n_chunks:
+                log.info("moment chunk %d/%d read back", read_cursor, n_chunks)
+            for bi, qs in enumerate(batch):
+                q = queries[qs[0]]
+                agg.add(
+                    q.label,
+                    q.retrieval_type,
+                    float(aps[bi]),
+                    recalls[bi].tolist(),
+                )
+
         n_chunks = -(-len(expanded) // engine.chunk)
         for cstart in range(0, len(expanded), engine.chunk):
             batch = expanded[cstart : cstart + engine.chunk]
@@ -378,19 +402,12 @@ class ARVRetrievalMoment:
                 )
             if len(staged) % 8 == 0 or len(staged) == n_chunks:
                 log.info("moment chunk %d/%d dispatched", len(staged), n_chunks)
+            if len(staged) - read_cursor >= inflight:
+                with _phase(self.timings, "metrics_readback"):
+                    _finalize_one()
         with _phase(self.timings, "metrics_readback"):
-            for ci, (batch, handle) in enumerate(staged, 1):
-                aps, recalls = engine.finalize(handle)
-                if ci % 8 == 0 or ci == n_chunks:
-                    log.info("moment chunk %d/%d read back", ci, n_chunks)
-                for bi, qs in enumerate(batch):
-                    q = queries[qs[0]]
-                    agg.add(
-                        q.label,
-                        q.retrieval_type,
-                        float(aps[bi]),
-                        recalls[bi].tolist(),
-                    )
+            while read_cursor < len(staged):
+                _finalize_one()
         return {"map05": agg.result()}
 
     def evaluation(self) -> dict:
