@@ -46,8 +46,19 @@ def main():
 
     key = jax.random.PRNGKey(0)
     scores = jax.random.normal(key, (args.chunk, args.n_moments), jnp.float32)
-    scores_bf16 = scores.astype(jnp.bfloat16)
-    jax.block_until_ready((scores, scores_bf16))
+    jax.block_until_ready(scores)
+
+    # a fresh device array per pull: jax.Array caches the fetched host copy
+    # (_npy_value), so re-pulling the same array times a cache hit, not the
+    # link (the first run of this benchmark measured 0.0s rounds that way)
+    @jax.jit
+    def bump(x, r):
+        return x + r.astype(x.dtype)
+
+    def fresh(dtype, r):
+        x = bump(scores.astype(dtype), jnp.float32(r))
+        jax.block_until_ready(x)
+        return x
 
     def pull(x):
         t0 = time.perf_counter()
@@ -56,17 +67,18 @@ def main():
         np.asarray(x)
         return time.perf_counter() - t0
 
-    # warmup both arms (path setup, relay stream init)
-    pull(scores)
-    pull(scores_bf16)
+    # warmup both arms (path setup, relay stream init, bump compiles)
+    pull(fresh(jnp.float32, -1))
+    pull(fresh(jnp.bfloat16, -1))
 
     rounds, f32, b16, ratios = [], [], [], []
     for r in range(args.reps):
+        a32, a16 = fresh(jnp.float32, r), fresh(jnp.bfloat16, r)
         # alternate which arm goes first to cancel any within-round trend
         if r % 2 == 0:
-            t32, t16 = pull(scores), pull(scores_bf16)
+            t32, t16 = pull(a32), pull(a16)
         else:
-            t16, t32 = pull(scores_bf16), pull(scores)
+            t16, t32 = pull(a16), pull(a32)
         f32.append(t32)
         b16.append(t16)
         ratios.append(t16 / max(t32, 1e-9))
