@@ -320,8 +320,12 @@ def main():
     build_dataset(args.data_dir)
     phases = args.phases.split(",")
     workers = [int(w) for w in args.workers.split(",")]
+    from vqwild_tpu.core.hostsig import host_cpu_signature
+
     report = {"batch_clips": BATCH * 3, "frames": FRAMES, "crop": CROP,
-              "host_cpus": os.cpu_count(), "batches": args.batches}
+              "host_cpus": os.cpu_count(),
+              "host_cpu_signature": host_cpu_signature(),
+              "batches": args.batches}
 
     if "loader" in phases:
         rows = []
