@@ -16,6 +16,7 @@ import numpy as np
 
 from vqwild_tpu.core.logging import get_logger
 from vqwild_tpu.core.profiling import phase
+from vqwild_tpu.core.transfer import fused_metrics_readback
 from vqwild_tpu.data.labels import SplitSpec
 from vqwild_tpu.data.schema import MomentDB, VideoRecord
 from vqwild_tpu.ops.hostmem import alloc_array
@@ -314,17 +315,21 @@ class ARVRetrievalClip:
                     )
         if staged is not None:
             with phase(self.timings, "metrics_readback"):
-                for batch, out in staged:
-                    aps = np.asarray(out["ap"])
-                    recalls = np.asarray(out["recalls"])
-                    for bi, qs in enumerate(batch):
+                # one transfer per key, not one per chunk (core/transfer.py)
+                host = fused_metrics_readback(
+                    [out for _, out in staged], keys=("ap", "recalls")
+                )
+                i = 0
+                for batch, _ in staged:
+                    for qs in batch:
                         q = queries[qs[0]]
                         agg.add(
                             q.label,
                             q.retrieval_type,
-                            float(aps[bi]),
-                            recalls[bi].tolist(),
+                            float(host["ap"][i]),
+                            host["recalls"][i].tolist(),
                         )
+                        i += 1
         result = agg.result()
         if diag is not None:
             result["cm_dict"] = diag.finalize(agg, result)

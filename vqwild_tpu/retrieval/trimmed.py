@@ -19,6 +19,7 @@ import numpy as np
 
 from vqwild_tpu.core.logging import get_logger
 from vqwild_tpu.core.profiling import phase
+from vqwild_tpu.core.transfer import fused_metrics_readback
 from vqwild_tpu.data.labels import SplitSpec
 from vqwild_tpu.data.schema import TrimmedDB, VideoRecord
 from vqwild_tpu.retrieval.aggregate import MetricAggregator
@@ -236,17 +237,21 @@ class ARVRetrievalTrimmed:
                     )
         if staged is not None:
             with phase(self.timings, "metrics_readback"):
-                for batch, out in staged:
-                    aps = np.asarray(out["ap"])
-                    recalls = np.asarray(out["recalls"])
-                    for bi, qs in enumerate(batch):
+                # one transfer per key, not one per chunk (core/transfer.py)
+                host = fused_metrics_readback(
+                    [out for _, out in staged], keys=("ap", "recalls")
+                )
+                i = 0
+                for batch, _ in staged:
+                    for qs in batch:
                         q = records[qs[0]]
                         agg.add(
                             q.label,
                             q.retrieval_type,
-                            float(aps[bi]),
-                            recalls[bi].tolist(),
+                            float(host["ap"][i]),
+                            host["recalls"][i].tolist(),
                         )
+                        i += 1
         result = agg.result()
         if diag is not None:
             # pass_content = the expanded query lists, mirroring upstream's
