@@ -33,6 +33,9 @@ def main():
     p.add_argument("--moment_engine", default="auto",
                    choices=["auto", "device", "host"],
                    help="moment postprocess engine (retrieval/moment.py)")
+    p.add_argument("--moment_scan_chunks", type=int, default=16,
+                   help="device-engine query chunks per compiled program "
+                        "(0 = per-chunk dispatch)")
     p.add_argument("--phases", default="trimmed,clip,moment",
                    help="comma subset; run each phase in its own process "
                         "for a fresh relay stream (compile RPCs have been "
@@ -147,6 +150,7 @@ def main():
             extractor(),
             workers=os.cpu_count() or 8,
             engine=args.moment_engine,
+            scan_chunks=args.moment_scan_chunks,
         )
         if args.moment_queries:
             ev.queries = ev.queries[: args.moment_queries]
@@ -155,6 +159,7 @@ def main():
         report["moment_queries"] = len(ev.queries)
         report["moment_engine_requested"] = args.moment_engine
         report["moment_engine"] = ev.resolved_engine
+        report["moment_scan_chunks"] = ev.scan_chunks
         report["moment_ap"] = round(float(rm["map05"]["ap"]), 6)
         report["moment_phases_s"] = {
             k: round(v, 2) for k, v in sorted(ev.timings.items())

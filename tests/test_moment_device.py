@@ -117,6 +117,70 @@ class TestDeviceMomentEngine:
         ig = [[i] for i in range(6)]
         _compare(engine, scores, q_names, ig, vidx, s_sec, e_sec, labels, h_iou)
 
+    def test_scan_dispatch_matches_per_chunk(self):
+        """The super-chunked lax.map program (dispatch_scan) must equal the
+        per-chunk path query-for-query, including replicated-pad chunks and
+        the in-program bank gather."""
+        rng = np.random.default_rng(13)
+        vidx, s_sec, e_sec, labels, h_iou = _random_world(rng, 13)
+        g = len(vidx)
+        d = 8
+        bank = rng.standard_normal((19, d)).astype(np.float32)
+        gallery = rng.standard_normal((g, d)).astype(np.float32)
+        engine = DeviceMomentEngine(
+            vidx, s_sec, e_sec, labels, h_iou, 13, chunk=4, max_ignore=3
+        )
+        # 10 real queries → 3 chunks of 4, padded to 4 chunks → 2 programs
+        # of 2 chunks each, the last program half-padded
+        qe, b, s = 10, 4, 2
+        total = 16  # n_prog(2) * s(2) * b(4)
+        q_names = [rng.choice(["a", "b", "c"]) for _ in range(qe)]
+        q_rows = np.full((total, 2), -1, np.int32)
+        q_lab = np.zeros(total, np.int32)
+        ig = np.full((total, 3), -1, np.int32)
+        for i in range(qe):
+            nsel = int(rng.integers(1, 3))
+            q_rows[i, :nsel] = rng.choice(19, nsel, replace=False)
+            q_lab[i] = engine.label_id(q_names[i])
+            nig = int(rng.integers(0, 3))
+            ig[i, :nig] = rng.choice(13, nig, replace=False)
+        q_rows[qe:] = q_rows[0]
+        q_lab[qe:] = q_lab[0]
+        ig[qe:] = ig[0]
+        from vqwild_tpu.ops.ranking import gather_scores
+
+        bank_d, gal_d = jnp.asarray(bank), jnp.asarray(gallery)
+        engine.warm_scan(bank.shape, gallery.shape, s, 2, (3, 5), True)
+        scan_ap, scan_rec = [], []
+        for p in range(0, total // b, s):
+            handle = engine.dispatch_scan(
+                bank_d, gal_d,
+                q_rows[p * b : (p + s) * b].reshape(s, b, 2),
+                q_lab[p * b : (p + s) * b].reshape(s, b),
+                ig[p * b : (p + s) * b].reshape(s, b, 3),
+                (3, 5), True,
+            )
+            ap_p, rec_p = engine.finalize_scan(handle)
+            scan_ap.append(ap_p)
+            scan_rec.append(rec_p)
+        scan_ap = np.concatenate(scan_ap)[:qe]
+        scan_rec = np.concatenate(scan_rec)[:qe]
+        for c in range(0, total, b):
+            sc = jax.jit(gather_scores, static_argnames=("use_pallas",))(
+                bank_d, gal_d, q_rows[c : c + b]
+            )
+            ap_c, rec_c = engine.metrics(
+                sc, q_lab[c : c + b],
+                [list(r[r >= 0]) for r in ig[c : c + b]],
+                (3, 5), True,
+            )
+            for bi in range(b):
+                i = c + bi
+                if i >= qe:
+                    continue
+                assert scan_ap[i] == pytest.approx(ap_c[bi], abs=1e-12)
+                np.testing.assert_allclose(scan_rec[i], rec_c[bi], atol=1e-12)
+
     def test_bucket_plan_covers_each_moment_once(self):
         rng = np.random.default_rng(5)
         counts = np.concatenate([[1, 16, 17, 40], rng.integers(1, 300, 20)])

@@ -159,6 +159,91 @@ class TestFusedChunkMetrics:
         np.testing.assert_array_equal(np.asarray(ref["ap"]), np.asarray(out["ap"]))
 
 
+class TestFusedEvalMetrics:
+    """The whole-eval lax.map program (one dispatch for every chunk) must
+    match the per-chunk fused path element-wise, including the replicated-pad
+    tail chunk whose extra outputs the caller drops."""
+
+    def _world(self, n=41, d=16, n_queries=23, k_src=3, qn=2, seed=1):
+        rng = np.random.default_rng(seed)
+        g = np.round(rng.normal(size=(n, d)).astype(np.float32) * 2) / 2
+        labels = rng.integers(0, 5, n).astype(np.int32)
+        vids = rng.integers(0, 11, n).astype(np.int32)
+        expanded = []
+        for _ in range(n_queries):
+            nsel = int(rng.integers(1, k_src + 1))
+            expanded.append(list(rng.choice(n, size=nsel, replace=False)))
+        return g, labels, vids, expanded
+
+    def _run(self, mesh, exact=True, rank_chunk=8):
+        from vqwild_tpu.retrieval.sharded import stack_query_chunks
+
+        g, labels, vids, expanded = self._world()
+        qe = len(expanded)
+        q_rows_all, q_lab_all, q_src_all = stack_query_chunks(
+            expanded,
+            rank_chunk,
+            2,
+            3,
+            label_id_of=lambda i: int(labels[i]),
+            src_vids_of=lambda qs: [int(vids[i]) for i in qs],
+        )
+        # 23 queries / chunk 8 → 3 chunks with a padded tail
+        assert q_rows_all.shape[0] == 3 and q_rows_all.shape[1] == 8
+        assert (q_rows_all.reshape(-1, 2)[qe:] == q_rows_all[0, 0]).all()
+        sc = GalleryScorer(g, mesh=mesh)
+        sc.set_columns(labels, vids)
+        sc.set_query_bank(None)
+        out = sc.eval_metrics_all(q_rows_all, q_lab_all, q_src_all, r_at_n=(3, 5))
+        ap = np.asarray(out["ap"]).reshape(-1)[:qe]
+        recalls = np.asarray(out["recalls"]).reshape(-1, 2)[:qe]
+        # per-chunk reference through the already-verified fused chunk path
+        ref_ap, ref_rec = [], []
+        for c in range(q_rows_all.shape[0]):
+            r = sc.chunk_metrics(
+                q_rows_all[c], q_lab_all[c], q_src_all[c], r_at_n=(3, 5)
+            )
+            ref_ap.append(np.asarray(r["ap"]))
+            ref_rec.append(np.asarray(r["recalls"]))
+        ref_ap = np.concatenate(ref_ap)[:qe]
+        ref_rec = np.concatenate(ref_rec)[:qe]
+        if exact:
+            np.testing.assert_array_equal(ap, ref_ap)
+        else:
+            np.testing.assert_allclose(ap, ref_ap, atol=1e-6)
+        np.testing.assert_array_equal(recalls, ref_rec)
+
+    def test_single_device(self):
+        self._run(mesh=None)
+
+    def test_mesh(self):
+        self._run(mesh=make_mesh(), exact=False)
+
+    def test_warm_path_used(self):
+        from vqwild_tpu.retrieval.sharded import stack_query_chunks
+
+        g, labels, vids, expanded = self._world(n_queries=8)
+        q_rows_all, q_lab_all, q_src_all = stack_query_chunks(
+            expanded, 4, 2, 3,
+            label_id_of=lambda i: int(labels[i]),
+            src_vids_of=lambda qs: [int(vids[i]) for i in qs],
+        )
+        sc = GalleryScorer(g)
+        sc.set_columns(labels, vids)
+        sc.set_query_bank(None)
+        sc.warm_eval_metrics(q_rows_all.shape[0], q_rows_all.shape[1], 2, 3,
+                             r_at_n=(3, 5))
+        warmed = sc.eval_metrics_all(
+            q_rows_all, q_lab_all, q_src_all, r_at_n=(3, 5)
+        )
+        cold = sc.eval_metrics_all(
+            q_rows_all + 0, q_lab_all, q_src_all, r_at_n=(3, 5)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(warmed["ap"]), np.asarray(cold["ap"])
+        )
+
+
 class TestDistributedInit:
     def test_single_process_noop(self):
         from vqwild_tpu.parallel.distributed import initialize

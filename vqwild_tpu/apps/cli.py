@@ -169,6 +169,12 @@ def parse(argv=None) -> ExperimentConfig:
                         "scalars; 'host' forces the native-C++/numpy "
                         "postprocess; 'auto' picks device on accelerators "
                         "(retrieval/moment.py)")
+    p.add_argument("--moment_scan_chunks", type=int, default=16,
+                   help="device moment engine: query chunks folded into one "
+                        "compiled program (lax.map) per dispatch — "
+                        "amortizes host↔device round-trips behind a "
+                        "high-latency link; 0 = per-chunk dispatch "
+                        "(retrieval/moment_device.py)")
     p.add_argument("--nonfinite_policy", choices=["halt", "warn"], default="halt",
                    help="NaN/Inf-loss failure detection: halt raises at the "
                         "next loss sync (resume from the last checkpoint); "
@@ -236,6 +242,7 @@ def parse(argv=None) -> ExperimentConfig:
                      else "int8" if args.trunk_int8 else None),
         score_readback_dtype=args.score_readback_dtype,
         moment_engine=args.moment_engine,
+        moment_scan_chunks=args.moment_scan_chunks,
     )
     cfg = ExperimentConfig(data=data, model=model, train=train, eval=ev, run_dir=args.run_dir)
     cfg_extra = dict(
@@ -502,6 +509,7 @@ def run_evaluation(cfg, extra, run_dir: RunDir):
                 mesh=mesh,
                 score_readback_dtype=cfg.eval.score_readback_dtype,
                 engine=cfg.eval.moment_engine,
+                scan_chunks=cfg.eval.moment_scan_chunks,
             )
             results["moment"] = mom_ev.evaluation()
             # artifacts must be reproducible from their own metadata

@@ -113,6 +113,9 @@ class EvalConfig:
     score_readback_dtype: str = "float32"
     # moment postprocess engine: auto | device | host (retrieval/moment.py)
     moment_engine: str = "auto"
+    # device-engine super-chunking: query chunks per compiled program
+    # (lax.map); 0 = per-chunk dispatch (retrieval/moment_device.py)
+    moment_scan_chunks: int = 16
 
 
 @dataclasses.dataclass(frozen=True)

@@ -63,36 +63,3 @@ def chunked_device_put(
     if block:
         out.block_until_ready()
     return out
-
-
-def fused_metrics_readback(outs, keys=("ap", "recalls")):
-    """Concatenate per-chunk metric outputs ON DEVICE and fetch them in one
-    transfer per key.
-
-    The dispatch-all-then-read-back eval loops (retrieval/trimmed.py,
-    retrieval/clip.py) previously pulled each chunk's [B]-sized outputs with
-    their own ``np.asarray`` — one host↔device round-trip per chunk per key.
-    On a healthy link that is immaterial, but per-RPC latency on the dev
-    relay was measured at 0.05 s–2.5 s depending on stream health, so a
-    6,338-query trimmed eval (50 chunks) swung 2.9 s–244 s on identical
-    code. Concatenating the chunk outputs device-side (async dispatches,
-    no blocking) and issuing ONE device_get per key makes the readback cost
-    two round-trips total, independent of chunk count — the same
-    "transfers must not scale with the work-list" rule the device moment
-    engine applies to scores.
-
-    ``outs`` is a sequence of per-chunk dicts of device arrays; returns a
-    dict of host numpy arrays concatenated along axis 0.
-    """
-    if not outs:
-        return {k: None for k in keys}
-    if len(outs) == 1:
-        return {k: np.asarray(outs[0][k]) for k in keys}
-    dev = {k: _concat(*[o[k] for o in outs]) for k in keys}
-    host = jax.device_get(dev)
-    return {k: np.asarray(v) for k, v in host.items()}
-
-
-@jax.jit
-def _concat(*ps):
-    return jnp.concatenate(ps, axis=0)

@@ -234,6 +234,48 @@ def fused_chunk_metrics(
     return _metrics_from_masks(scores, tp, ignore, r_at_n, robust, topk, full_rank)
 
 
+@functools.partial(jax.jit, static_argnames=("r_at_n", "robust"))
+def fused_eval_metrics(
+    q_bank,
+    gallery,
+    gal_label_ids,
+    gal_vid_ids,
+    q_rows,
+    q_label_ids,
+    q_src_vids,
+    r_at_n: Tuple[int, ...] = (30, 50, 100),
+    robust: bool = True,
+):
+    """The ENTIRE rank loop as one device program: ``lax.map`` over query
+    chunks of the fused_chunk_metrics body (metrics-only form).
+
+    q_rows [n_chunks, B, query_num]; q_label_ids [n_chunks, B];
+    q_src_vids [n_chunks, B, K] → dict(ap [n_chunks, B],
+    recalls [n_chunks, B, len(r_at_n)]).
+
+    Per-chunk dispatch costs ~4 host↔device round-trips (three id uploads +
+    the execute); behind the dev relay per-RPC latency swings 0.05–5 s with
+    stream health, so a 25-chunk trimmed eval was measured at 5 s–360 s on
+    identical code. Mapping the chunk loop inside ONE executable makes the
+    whole eval 3 uploads + 1 execute + 1 readback regardless of chunk count,
+    while lax.map keeps the [B, G] score/sort intermediates bounded to one
+    chunk at a time (same working set as the host-driven loop). Callers pad
+    the tail chunk with replicated valid queries and drop the extras host-side
+    (padding with -1 rows would NaN the masked-mean gather).
+    """
+
+    def body(chunk):
+        qr, ql, qs = chunk
+        scores = gather_scores(q_bank, gallery, qr, False)
+        tp, ignore = build_eval_masks(gal_label_ids, gal_vid_ids, ql, qs)
+        out = _metrics_from_masks(
+            scores, tp, ignore, r_at_n, robust, 0, False
+        )
+        return dict(ap=out["ap"], recalls=out["recalls"])
+
+    return jax.lax.map(body, (q_rows, q_label_ids, q_src_vids))
+
+
 def gather_scores(q_bank, gallery, q_rows, use_pallas: bool = False):
     """Masked-mean gather of query features from a device bank, then the
     distance kernel. q_rows [B,query_num] i32 pads with -1 when a query has

@@ -179,6 +179,7 @@ class ARVRetrievalMoment:
         mesh=None,
         score_readback_dtype: str = "float32",
         engine: str = "auto",
+        scan_chunks: int = 16,
     ):
         self.extractor = extractor
         self.moment_clip_sec = moment_clip_sec
@@ -214,6 +215,11 @@ class ARVRetrievalMoment:
         if engine not in ("auto", "device", "host"):
             raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
+        # device-engine super-chunking: run `scan_chunks` query chunks inside
+        # ONE program (lax.map) so host↔device round-trips amortize — per-
+        # chunk dispatch cost ~8 RPCs, roughly half the full-DB eval's wall
+        # time behind the dev relay. 0 disables (per-chunk dispatch).
+        self.scan_chunks = int(scan_chunks)
         # resolved by evaluation(): "device" | "native" | "numpy"
         self.resolved_engine = ""
         self.possible_classes = set(spec.possible_classes("testing"))
@@ -336,6 +342,11 @@ class ARVRetrievalMoment:
         agg.set_class_info(
             [(queries[qs[0]].label, queries[qs[0]].retrieval_type) for qs in expanded]
         )
+        if self.mesh is None and self.scan_chunks > 0 and expanded:
+            return self._device_scan_rank(
+                engine, queries, expanded, q_feats_all, feats,
+                video_id_to_idx, agg,
+            )
         with _phase(self.timings, "gallery_to_device"):
             scorer = GalleryScorer(feats, mesh=self.mesh)
             # queries gather from a device-resident bank: per chunk only the
@@ -402,6 +413,100 @@ class ARVRetrievalMoment:
                 )
             if len(staged) % 8 == 0 or len(staged) == n_chunks:
                 log.info("moment chunk %d/%d dispatched", len(staged), n_chunks)
+            if len(staged) - read_cursor >= inflight:
+                with _phase(self.timings, "metrics_readback"):
+                    _finalize_one()
+        with _phase(self.timings, "metrics_readback"):
+            while read_cursor < len(staged):
+                _finalize_one()
+        return {"map05": agg.result()}
+
+    def _device_scan_rank(
+        self, engine, queries, expanded, q_feats_all, feats,
+        video_id_to_idx, agg,
+    ) -> dict:
+        """Single-device rank loop with super-chunked dispatch: ``scan_chunks``
+        query chunks run inside one program (moment_device._scan_metrics), so
+        the full-DB eval costs ~n_chunks/scan_chunks dispatch+readback
+        round-trips instead of ~8 RPCs per chunk. Tail chunks pad by
+        replicating query 0; their outputs are dropped below."""
+        b = engine.chunk
+        qe = len(expanded)
+        n_chunks = -(-qe // b)
+        s_chunks = min(self.scan_chunks, n_chunks)
+        n_prog = -(-n_chunks // s_chunks)
+        total = n_prog * s_chunks * b
+        q_rows = np.full((total, self.query_num), -1, np.int32)
+        q_lab = np.zeros(total, np.int32)
+        ig = np.full((total, engine.max_ignore), -1, np.int32)
+        for i, qs in enumerate(expanded):
+            take = qs[: self.query_num]
+            q_rows[i, : len(take)] = take
+            q_lab[i] = engine.label_id(queries[qs[0]].label)
+            vids = [
+                video_id_to_idx[queries[qi].video_id]
+                for qi in qs
+                if queries[qi].video_id in video_id_to_idx
+            ]
+            if len(vids) > engine.max_ignore:
+                raise ValueError(
+                    f"{len(vids)} ignore videos > {engine.max_ignore}"
+                )
+            ig[i, : len(vids)] = vids
+        if total > qe:
+            q_rows[qe:] = q_rows[0]
+            q_lab[qe:] = q_lab[0]
+            ig[qe:] = ig[0]
+        q_rows = q_rows.reshape(n_prog, s_chunks, b, self.query_num)
+        q_lab = q_lab.reshape(n_prog, s_chunks, b)
+        ig = ig.reshape(n_prog, s_chunks, b, engine.max_ignore)
+        bank_shape = (q_feats_all.shape[0], feats.shape[1])
+        with _phase(self.timings, "compile_warm"):
+            engine.warm_scan(
+                bank_shape, feats.shape, s_chunks, self.query_num,
+                self.r_at_n, self.robust_map,
+            )
+        log.info(
+            "scan program warmed in %.1fs (%d programs x %d chunks x %d queries)",
+            self.timings["compile_warm"], n_prog, s_chunks, b,
+        )
+        with _phase(self.timings, "gallery_to_device"):
+            scorer = GalleryScorer(feats, mesh=None)
+            scorer.set_query_bank(q_feats_all.astype(np.float32, copy=False))
+            jax.block_until_ready(scorer.g_dev)
+        # bounded in-flight pipeline over programs (see _evaluation_device)
+        inflight = 2
+        staged: list = []
+        read_cursor = 0
+
+        def _finalize_one():
+            nonlocal read_cursor
+            p = read_cursor
+            handle = staged[p]
+            staged[p] = None  # free the device handles
+            read_cursor += 1
+            aps, recalls = engine.finalize_scan(handle)
+            log.info("moment program %d/%d read back", read_cursor, n_prog)
+            base = p * s_chunks * b
+            for j in range(min(len(aps), qe - base)):
+                q = queries[expanded[base + j][0]]
+                agg.add(
+                    q.label,
+                    q.retrieval_type,
+                    float(aps[j]),
+                    recalls[j].tolist(),
+                )
+
+        for p in range(n_prog):
+            with _phase(self.timings, "metrics_device"):
+                staged.append(
+                    engine.dispatch_scan(
+                        scorer.q_bank, scorer.g_dev,
+                        q_rows[p], q_lab[p], ig[p],
+                        self.r_at_n, self.robust_map,
+                    )
+                )
+            log.info("moment program %d/%d dispatched", p + 1, n_prog)
             if len(staged) - read_cursor >= inflight:
                 with _phase(self.timings, "metrics_readback"):
                     _finalize_one()

@@ -119,17 +119,7 @@ def _nms_sorted(ss, st, en, thresh: float):
     return ~supp & real
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "n_moments",
-        "nms_threshold",
-        "tp_when_no_match",
-        "r_at_n",
-        "robust",
-    ),
-)
-def _chunk_metrics(
+def _chunk_metrics_core(
     scores,
     q_label,
     ignore_vids,
@@ -146,6 +136,8 @@ def _chunk_metrics(
     pytree args — shapes are static, the 10⁷ elements are not baked into the
     HLO). scores [Q, >=G] f32 (extra padded columns ignored), q_label [Q]
     int32, ignore_vids [Q, I] int32 gallery video indices (-1 pads).
+    Trace-time only — callers jit (``_chunk_metrics`` per chunk, or
+    ``_scan_metrics`` mapping many chunks inside one program).
     """
     q = scores.shape[0]
     g = n_moments
@@ -240,6 +232,78 @@ def _chunk_metrics(
     return ap, jnp.stack(rhits, axis=1), npos
 
 
+_chunk_metrics = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_moments",
+        "nms_threshold",
+        "tp_when_no_match",
+        "r_at_n",
+        "robust",
+    ),
+)(_chunk_metrics_core)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_moments",
+        "nms_threshold",
+        "tp_when_no_match",
+        "r_at_n",
+        "robust",
+    ),
+)
+def _scan_metrics(
+    q_bank,
+    gallery,
+    q_rows,
+    q_label,
+    ignore_vids,
+    buckets,
+    n_moments,
+    nms_threshold,
+    tp_when_no_match,
+    r_at_n,
+    robust,
+):
+    """MANY query chunks as one program: score + NMS + grouped-order metrics
+    for a [S, B]-shaped super-chunk via ``lax.map`` over the S axis.
+
+    Per-chunk dispatch costs ~8 host↔device round-trips (query-row upload,
+    score execute, label/ignore uploads, metric execute, three readbacks);
+    at 139 chunks the full-DB eval paid ~10³ RPCs — roughly half its 842 s
+    behind the dev relay (benchmarks/EVAL_SCALE_r05_tpu.json). Mapping S
+    chunks inside one executable costs 3 uploads + 1 execute + 1 readback
+    per S chunks while the [B, G] score rows and [B, Vb, W] bucket tensors
+    still exist one chunk at a time (lax.map is sequential), so device
+    working-set is unchanged.
+
+    q_rows [S, B, query_num] i32 rows into ``q_bank`` (pad -1 within a
+    query, whole padded chunks replicate real queries — extras dropped
+    host-side); q_label [S, B] i32; ignore_vids [S, B, I] i32.
+    → (ap [S, B], rhits [S, B, len(r_at_n)], npos [S, B]).
+    """
+    from vqwild_tpu.ops.ranking import gather_scores
+
+    def body(chunk):
+        qr, ql, ig = chunk
+        scores = gather_scores(q_bank, gallery, qr, False)
+        return _chunk_metrics_core(
+            scores,
+            ql,
+            ig,
+            buckets,
+            n_moments,
+            nms_threshold,
+            tp_when_no_match,
+            r_at_n,
+            robust,
+        )
+
+    return jax.lax.map(body, (q_rows, q_label, ignore_vids))
+
+
 class DeviceMomentEngine:
     """Per-evaluation device state + chunked metric computation.
 
@@ -318,6 +382,7 @@ class DeviceMomentEngine:
                 )
             )
         self._buckets = tuple(buckets)
+        self._warmed_scan: dict = {}
         self._nms_threshold = float(nms_threshold)
         # upstream: iou_q = where(label match, hit_iou, 0.0); tp = iou_q >= t
         self._tp_when_no_match = bool(0.0 >= tiou_threshold)
@@ -386,11 +451,87 @@ class DeviceMomentEngine:
     def finalize(handle):
         """→ (ap [B] f64, recalls [B, len(r_at_n)] f64) for one dispatch."""
         ap_d, rhits_d, npos_d, b = handle
-        ap = np.asarray(ap_d, np.float64)[:b]
+        # one transfer for all three outputs, not one np.asarray each —
+        # per-RPC latency swings 0.05–5 s behind the dev relay
+        ap_h, rhits_h, npos_h = jax.device_get((ap_d, rhits_d, npos_d))
+        ap = np.asarray(ap_h, np.float64)[:b]
         # identical arithmetic to the host path: npos = tp.sum() + 1e-10 (f64)
-        npos = np.asarray(npos_d, np.float64)[:b] + 1e-10
-        recalls = np.asarray(rhits_d, np.float64)[:b] / npos[:, None]
+        npos = np.asarray(npos_h, np.float64)[:b] + 1e-10
+        recalls = np.asarray(rhits_h, np.float64)[:b] / npos[:, None]
         return ap, recalls
+
+    def dispatch_scan(self, q_bank, gallery, q_rows, q_labels, ignore_vids,
+                      r_at_n: Tuple[int, ...], robust: bool):
+        """Enqueue S chunks as ONE device program (async): q_rows
+        [S, B, query_num] i32 rows into ``q_bank`` (whole padded chunks
+        replicate real queries; the caller drops their outputs); q_labels
+        [S, B] i32; ignore_vids [S, B, max_ignore] i32 (-1 pads). Scores are
+        computed inside the program from the device-resident bank, so the
+        upload is three small i32 arrays per S chunks. Single-device only —
+        the mesh path reshards per chunk in ``dispatch``."""
+        assert self.mesh is None, "scan dispatch is the single-device path"
+        s, b = q_rows.shape[:2]
+        assert b == self.chunk, (b, self.chunk)
+        args = (
+            q_bank,
+            gallery,
+            jnp.asarray(np.asarray(q_rows, np.int32)),
+            jnp.asarray(np.asarray(q_labels, np.int32)),
+            jnp.asarray(np.asarray(ignore_vids, np.int32)),
+            self._buckets,
+        )
+        key = ("scan", tuple(q_bank.shape), tuple(gallery.shape), s,
+               q_rows.shape[2], tuple(r_at_n), bool(robust))
+        compiled = self._warmed_scan.get(key)
+        if compiled is not None:
+            return compiled(*args)
+        return _scan_metrics(
+            *args,
+            n_moments=self.n_moments,
+            nms_threshold=self._nms_threshold,
+            tp_when_no_match=self._tp_when_no_match,
+            r_at_n=tuple(r_at_n),
+            robust=bool(robust),
+        )
+
+    @staticmethod
+    def finalize_scan(handle):
+        """→ (ap [S*B] f64, recalls [S*B, len(r_at_n)] f64), one transfer."""
+        ap_d, rhits_d, npos_d = handle
+        ap_h, rhits_h, npos_h = jax.device_get((ap_d, rhits_d, npos_d))
+        s, b = np.asarray(ap_h).shape
+        ap = np.asarray(ap_h, np.float64).reshape(s * b)
+        npos = np.asarray(npos_h, np.float64).reshape(s * b) + 1e-10
+        recalls = (
+            np.asarray(rhits_h, np.float64).reshape(s * b, -1) / npos[:, None]
+        )
+        return ap, recalls
+
+    def warm_scan(self, bank_shape, gallery_shape, s: int, query_num: int,
+                  r_at_n: Tuple[int, ...], robust: bool):
+        """AOT-compile the scan program (shapes only; bucket constants are
+        already on device). Keeps the dispatch loop compile-free and lands
+        the executable in the persistent cache."""
+        sd = jax.ShapeDtypeStruct
+        key = ("scan", tuple(bank_shape), tuple(gallery_shape), s, query_num,
+               tuple(r_at_n), bool(robust))
+        if key in self._warmed_scan:
+            return self._warmed_scan[key]
+        compiled = _scan_metrics.lower(
+            sd(tuple(bank_shape), np.float32),
+            sd(tuple(gallery_shape), np.float32),
+            sd((s, self.chunk, query_num), np.int32),
+            sd((s, self.chunk), np.int32),
+            sd((s, self.chunk, self.max_ignore), np.int32),
+            self._buckets,
+            n_moments=self.n_moments,
+            nms_threshold=self._nms_threshold,
+            tp_when_no_match=self._tp_when_no_match,
+            r_at_n=tuple(r_at_n),
+            robust=bool(robust),
+        ).compile()
+        self._warmed_scan[key] = compiled
+        return compiled
 
     def metrics(
         self,

@@ -21,7 +21,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vqwild_tpu.core.transfer import chunked_device_put
 from vqwild_tpu.ops.distance import _use_pallas, score_matrix
-from vqwild_tpu.ops.ranking import fused_chunk_metrics, gather_scores
+from vqwild_tpu.ops.ranking import (
+    fused_chunk_metrics,
+    fused_eval_metrics,
+    gather_scores,
+)
 from vqwild_tpu.parallel.mesh import pad_to_multiple
 
 _bank_scores = functools.partial(
@@ -85,6 +89,90 @@ def warm_fused_chunk(
     return compiled
 
 
+def stack_query_chunks(
+    expanded,
+    rank_chunk: int,
+    query_num: int,
+    k_src: int,
+    label_id_of,
+    src_vids_of,
+):
+    """Batch every expanded query list into the stacked chunk arrays the
+    whole-eval program consumes (fused_eval_metrics).
+
+    → (q_rows [n_chunks, B, query_num], q_label_ids [n_chunks, B],
+    q_src_vids [n_chunks, B, k_src]). The tail chunk pads by replicating
+    query 0 — real, valid inputs whose outputs the caller drops (index ≥
+    len(expanded) after flattening) — because -1 rows would NaN the
+    masked-mean feature gather. ``label_id_of(i)``/``src_vids_of(qs)`` map a
+    query index / expanded list to its label id and source-video id list.
+    """
+    qe = len(expanded)
+    assert qe > 0
+    b = min(rank_chunk, qe)
+    n_chunks = (qe + b - 1) // b
+    total = n_chunks * b
+    q_rows = np.full((total, query_num), -1, np.int32)
+    q_src = np.full((total, k_src), -2, np.int32)
+    q_lab = np.zeros(total, np.int32)
+    for i, qs in enumerate(expanded):
+        take = qs[:query_num]
+        q_rows[i, : len(take)] = take
+        q_lab[i] = label_id_of(qs[0])
+        q_src[i, : len(qs)] = src_vids_of(qs)
+    if total > qe:
+        q_rows[qe:] = q_rows[0]
+        q_lab[qe:] = q_lab[0]
+        q_src[qe:] = q_src[0]
+    return (
+        q_rows.reshape(n_chunks, b, query_num),
+        q_lab.reshape(n_chunks, b),
+        q_src.reshape(n_chunks, b, k_src),
+    )
+
+
+def warm_fused_eval(
+    bank_shape,
+    gallery_rows: int,
+    n_chunks: int,
+    b: int,
+    query_num: int,
+    k_src: int,
+    r_at_n,
+    robust: bool,
+):
+    """AOT-compile the whole-eval lax.map program from avals (see
+    warm_fused_chunk for why this happens before the gallery upload)."""
+    d = bank_shape[1]
+    key = (
+        "eval",
+        tuple(bank_shape),
+        gallery_rows,
+        n_chunks,
+        b,
+        query_num,
+        k_src,
+        tuple(r_at_n),
+        robust,
+    )
+    if key in _COMPILED_CHUNKS:
+        return _COMPILED_CHUNKS[key]
+    sd = jax.ShapeDtypeStruct
+    compiled = fused_eval_metrics.lower(
+        sd(tuple(bank_shape), np.float32),
+        sd((gallery_rows, d), np.float32),
+        sd((gallery_rows,), np.int32),
+        sd((gallery_rows,), np.int32),
+        sd((n_chunks, b, query_num), np.int32),
+        sd((n_chunks, b), np.int32),
+        sd((n_chunks, b, k_src), np.int32),
+        r_at_n=tuple(r_at_n),
+        robust=robust,
+    ).compile()
+    _COMPILED_CHUNKS[key] = compiled
+    return compiled
+
+
 class GalleryScorer:
     """Holds the (optionally sharded) gallery on device; scores query chunks."""
 
@@ -116,6 +204,12 @@ class GalleryScorer:
         self._col_vid_ids = None
         self._q_bank = None
         self._warmed = {}
+
+    @property
+    def q_bank(self):
+        """Device-resident query-feature bank (set_query_bank)."""
+        assert self._q_bank is not None, "set_query_bank() first"
+        return self._q_bank
 
     # ---- device-resident eval state (id-based mask path) ----
 
@@ -217,6 +311,88 @@ class GalleryScorer:
             full_rank=full_rank,
             use_pallas=False,
         )
+
+    def eval_metrics_all(
+        self,
+        q_rows: np.ndarray,
+        q_label_ids: np.ndarray,
+        q_src_vids: np.ndarray,
+        r_at_n=(30, 50, 100),
+        robust: bool = True,
+    ):
+        """One device dispatch for EVERY query chunk (ops.ranking.
+        fused_eval_metrics): q_rows [n_chunks, B, query_num] etc. Returns the
+        device dict; callers jax.device_get once. The tail chunk must be
+        padded with replicated VALID queries (extras dropped host-side)."""
+        assert self._col_label_ids is not None, "set_columns() first"
+        assert self._q_bank is not None, "set_query_bank() first"
+        up = lambda a: (
+            jax.device_put(a, self._q_sharding)
+            if self._q_sharding is not None
+            else jnp.asarray(a)
+        )
+        q_rows = np.asarray(q_rows, np.int32)
+        q_label_ids = np.asarray(q_label_ids, np.int32)
+        q_src_vids = np.asarray(q_src_vids, np.int32)
+        key = ("eval", q_rows.shape, q_src_vids.shape[2], tuple(r_at_n), robust)
+        compiled = self._warmed.get(key)
+        args = (
+            self._q_bank,
+            self.g_dev,
+            self._col_label_ids,
+            self._col_vid_ids,
+            up(q_rows),
+            up(q_label_ids),
+            up(q_src_vids),
+        )
+        if compiled is not None:
+            return compiled(*args)
+        return fused_eval_metrics(*args, r_at_n=tuple(r_at_n), robust=robust)
+
+    def warm_eval_metrics(
+        self,
+        n_chunks: int,
+        b: int,
+        query_num: int,
+        k_src: int,
+        r_at_n=(30, 50, 100),
+        robust: bool = True,
+    ):
+        """AOT-compile the whole-eval program (see warm_chunk_metrics)."""
+        assert self._q_bank is not None and self._col_label_ids is not None
+        key = (
+            "eval",
+            (n_chunks, b, query_num),
+            k_src,
+            tuple(r_at_n),
+            robust,
+        )
+        if key in self._warmed:
+            return
+        if self.mesh is None:
+            self._warmed[key] = warm_fused_eval(
+                self._q_bank.shape,
+                self.n_padded,
+                n_chunks,
+                b,
+                query_num,
+                k_src,
+                r_at_n,
+                robust,
+            )
+            return
+        sd = jax.ShapeDtypeStruct
+        self._warmed[key] = fused_eval_metrics.lower(
+            self._q_bank,
+            self.g_dev,
+            self._col_label_ids,
+            self._col_vid_ids,
+            sd((n_chunks, b, query_num), np.int32),
+            sd((n_chunks, b), np.int32),
+            sd((n_chunks, b, k_src), np.int32),
+            r_at_n=tuple(r_at_n),
+            robust=robust,
+        ).compile()
 
     def warm_chunk_metrics(
         self,
