@@ -19,14 +19,18 @@ import numpy as np
 
 from vqwild_tpu.core.logging import get_logger
 from vqwild_tpu.core.profiling import phase
-from vqwild_tpu.core.transfer import fused_metrics_readback
 from vqwild_tpu.data.labels import SplitSpec
 from vqwild_tpu.data.schema import TrimmedDB, VideoRecord
 from vqwild_tpu.retrieval.aggregate import MetricAggregator
 from vqwild_tpu.retrieval.diagnostics import DiagnosticsCollector
 from vqwild_tpu.retrieval.features import FeatureExtractor
 from vqwild_tpu.retrieval.multiquery import generate_multi_query
-from vqwild_tpu.retrieval.sharded import GalleryScorer, warm_fused_chunk
+from vqwild_tpu.retrieval.sharded import (
+    GalleryScorer,
+    stack_query_chunks,
+    warm_fused_chunk,
+    warm_fused_eval,
+)
 
 log = get_logger("retrieval.trimmed")
 
@@ -121,24 +125,51 @@ class ARVRetrievalTrimmed:
         # the i32 row/label/source-video ids (KB, vs two [Q,G] bool masks —
         # which dominated the whole eval behind a slow host↔device link)
         k_src = max((len(qs) for qs in expanded), default=1)
+        if not expanded:
+            return agg.result()
+        one_prog = diag is None  # diagnostics need [B,G] per-chunk outputs
         wkw = dict(
             r_at_n=self.r_at_n,
             robust=self.robust_map,
             topk=100 if diag is not None else 0,
             full_rank=diag is not None,
         )
-        wbs = {min(self.rank_chunk, len(expanded)),
-               len(expanded) % self.rank_chunk or self.rank_chunk} - {0}
+        if one_prog:
+            # whole-eval single program: the chunk loop runs as a lax.map on
+            # device, so the rank phase is 3 id uploads + 1 execute + 1
+            # readback total, independent of chunk count (the per-chunk
+            # dispatch RPCs dominated behind the dev relay; ops/ranking.py
+            # fused_eval_metrics)
+            q_rows_all, q_lab_all, q_src_all = stack_query_chunks(
+                expanded,
+                self.rank_chunk,
+                self.query_num,
+                k_src,
+                label_id_of=lambda i: label_ids[records[i].label],
+                src_vids_of=lambda qs: [
+                    vid_codes[records[qi].video_id] for qi in qs
+                ],
+            )
+            n_chunks, wb = q_rows_all.shape[:2]
+            wbs = set()
+        else:
+            wbs = {min(self.rank_chunk, len(expanded)),
+                   len(expanded) % self.rank_chunk or self.rank_chunk} - {0}
         if self.mesh is None:
-            # AOT-warm from avals BEFORE the upload: both occurring chunk
-            # shapes compile once, the rank loop never compiles, and the
-            # compile RPC is not queued behind a large upload (the observed
-            # stream-wedge recipe behind the dev relay)
+            # AOT-warm from avals BEFORE the upload: the occurring shapes
+            # compile once, the rank loop never compiles, and the compile RPC
+            # is not queued behind a large upload (the observed stream-wedge
+            # recipe behind the dev relay)
             with phase(self.timings, "compile_warm"):
                 n = gallery_feats.shape[0]
-                for wb in wbs:
+                if one_prog:
+                    warm_fused_eval(
+                        gallery_feats.shape, n, n_chunks, wb,
+                        self.query_num, k_src, self.r_at_n, self.robust_map,
+                    )
+                for wb_ in wbs:
                     warm_fused_chunk(
-                        gallery_feats.shape, n, wb, self.query_num, k_src, **wkw
+                        gallery_feats.shape, n, wb_, self.query_num, k_src, **wkw
                     )
             log.info(
                 "chunk programs warmed in %.1fs", self.timings["compile_warm"]
@@ -154,12 +185,35 @@ class ARVRetrievalTrimmed:
             self.timings["gallery_to_device"],
         )
         with phase(self.timings, "compile_warm"):
-            for wb in wbs:
-                scorer.warm_chunk_metrics(wb, self.query_num, k_src, **wkw)
-        # without diagnostics the per-chunk outputs are [B]-sized: dispatch
-        # every chunk first (async), then read back — chunks pipeline through
-        # a high-latency host↔device link instead of paying RTT serially
-        staged = [] if diag is None else None
+            if one_prog:
+                scorer.warm_eval_metrics(
+                    n_chunks, wb, self.query_num, k_src,
+                    r_at_n=self.r_at_n, robust=self.robust_map,
+                )
+            for wb_ in wbs:
+                scorer.warm_chunk_metrics(wb_, self.query_num, k_src, **wkw)
+        if one_prog:
+            log.info("dispatching %d chunks as one program", n_chunks)
+            with phase(self.timings, "rank_dispatch"):
+                out = scorer.eval_metrics_all(
+                    q_rows_all, q_lab_all, q_src_all,
+                    r_at_n=self.r_at_n, robust=self.robust_map,
+                )
+            with phase(self.timings, "metrics_readback"):
+                host = jax.device_get(out)
+                aps = np.asarray(host["ap"]).reshape(-1)
+                recalls = np.asarray(host["recalls"]).reshape(
+                    -1, len(self.r_at_n)
+                )
+                for i, qs in enumerate(expanded):
+                    q = records[qs[0]]
+                    agg.add(
+                        q.label,
+                        q.retrieval_type,
+                        float(aps[i]),
+                        recalls[i].tolist(),
+                    )
+            return self._finalize(agg, diag, expanded)
         n_chunks = (len(expanded) + self.rank_chunk - 1) // self.rank_chunk
         for ci, start in enumerate(range(0, len(expanded), self.rank_chunk)):
             if ci % 32 == 0:
@@ -188,12 +242,9 @@ class ARVRetrievalTrimmed:
                     # 100 of the ignore-filtered ranking — no headroom
                     # needed; the filter below only trims when the query has
                     # <100 valid rows
-                    topk=100 if diag is not None else 0,
-                    full_rank=diag is not None,
+                    topk=100,
+                    full_rank=True,
                 )
-            if staged is not None:
-                staged.append((batch, out))
-                continue
             # diagnostics path: per-chunk sync (full_rank outputs are [B,G])
             # host copy of the ignore mask, for top-list filtering only
             ignore = np.zeros((b, scorer.n_padded), bool)
@@ -235,23 +286,9 @@ class ARVRetrievalTrimmed:
                             for g in top[:30]
                         ],
                     )
-        if staged is not None:
-            with phase(self.timings, "metrics_readback"):
-                # one transfer per key, not one per chunk (core/transfer.py)
-                host = fused_metrics_readback(
-                    [out for _, out in staged], keys=("ap", "recalls")
-                )
-                i = 0
-                for batch, _ in staged:
-                    for qs in batch:
-                        q = records[qs[0]]
-                        agg.add(
-                            q.label,
-                            q.retrieval_type,
-                            float(host["ap"][i]),
-                            host["recalls"][i].tolist(),
-                        )
-                        i += 1
+        return self._finalize(agg, diag, expanded)
+
+    def _finalize(self, agg, diag, expanded) -> dict:
         result = agg.result()
         if diag is not None:
             # pass_content = the expanded query lists, mirroring upstream's
@@ -260,7 +297,7 @@ class ARVRetrievalTrimmed:
                 agg,
                 result,
                 pass_content=[
-                    [records[i].video_id for i in qs] for qs in expanded
+                    [self.records[i].video_id for i in qs] for qs in expanded
                 ],
             )
         return result
