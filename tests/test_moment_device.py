@@ -79,6 +79,73 @@ class TestDeviceMomentEngine:
               for _ in range(12)]
         _compare(engine, scores, q_names, ig, vidx, s_sec, e_sec, labels, h_iou)
 
+    def test_blocked_nms_wide_videos_match_host(self):
+        """Videos wide enough to take the blocked-NMS path (W > 64: the
+        cross-block suppression pass + K-slot inner loops) must still match
+        the host greedy decision-for-decision, ties included."""
+        rng = np.random.default_rng(11)
+        vidx, s_sec, e_sec, labels, h_iou = _random_world(rng, 8, max_w=300)
+        # force widths that pick K=64, 48, and 32 blocks (96/128/192/256
+        # buckets) plus one narrow video through the unblocked loop
+        g = len(vidx)
+        engine = DeviceMomentEngine(
+            vidx, s_sec, e_sec, labels, h_iou, 8, chunk=6, max_ignore=4
+        )
+        scores = rng.standard_normal((6, g)).astype(np.float32)
+        # dense exact ties inside single videos: greedy order inside and
+        # across NMS blocks must fall back to global-index order identically
+        scores[0, : min(100, g)] = 0.5
+        scores[2] = np.round(scores[2] * 4) / 4  # many cross-video ties
+        q_names = ["a", "b", "c", "a", "b", "c"]
+        ig = [[], [1], [], [0, 3], [], [7]]
+        _compare(engine, scores, q_names, ig, vidx, s_sec, e_sec, labels, h_iou)
+
+    def test_blocked_nms_equals_naive_sequential(self):
+        """_nms_sorted's blocked form vs the textbook one-slot-at-a-time loop
+        on overlapping-heavy sorted geometry at block-boundary widths."""
+        from vqwild_tpu.retrieval.moment_device import _nms_sorted
+
+        def naive(ss, st, en, thresh):
+            ss, st, en = map(np.asarray, (ss, st, en))
+            q, v, w = ss.shape
+            keep = np.zeros((q, v, w), bool)
+            for qi in range(q):
+                for vi in range(v):
+                    supp = ss[qi, vi] == -np.inf
+                    ln = en[qi, vi] - st[qi, vi] + 1.0
+                    for i in range(w):
+                        if supp[i]:
+                            continue
+                        inter = np.maximum(
+                            0.0,
+                            np.minimum(en[qi, vi, i], en[qi, vi])
+                            - np.maximum(st[qi, vi, i], st[qi, vi])
+                            + 1.0,
+                        )
+                        hit = inter * (1 + thresh) >= thresh * (ln[i] + ln)
+                        supp[i + 1 :] |= hit[i + 1 :]
+                    keep[qi, vi] = ~supp & (ss[qi, vi] > -np.inf)
+            return keep
+
+        rng = np.random.default_rng(5)
+        for w in (96, 128, 192, 320, 768):
+            q, v = 3, 4
+            st = (rng.integers(0, 30, (q, v, w)) * 5).astype(np.float32)
+            en = st + (rng.integers(1, 27, (q, v, w)) * 5).astype(np.float32)
+            ss = np.sort(rng.standard_normal((q, v, w)).astype(np.float32))[
+                ..., ::-1
+            ].copy()
+            # pads at the tail like the sorted engine layout
+            n_pad = rng.integers(0, w // 2)
+            if n_pad:
+                ss[..., w - n_pad :] = -np.inf
+                st[..., w - n_pad :] = 0.0
+                en[..., w - n_pad :] = -1.0
+            got = np.asarray(
+                _nms_sorted(jnp.asarray(ss), jnp.asarray(st), jnp.asarray(en), 0.5)
+            )
+            np.testing.assert_array_equal(got, naive(ss, st, en, 0.5), err_msg=str(w))
+
     def test_partial_chunk_and_no_robust(self):
         rng = np.random.default_rng(3)
         vidx, s_sec, e_sec, labels, h_iou = _random_world(rng, 9)
